@@ -1,0 +1,198 @@
+"""Diffusion noise schedules and DDIM sub-schedules.
+
+All tables are derived in float64 on the host with numpy and frozen to
+float32 device constants, exactly as the reference does
+(make_beta_schedule, diffusionmodules/util.py:21-43 — fp64 linspace of
+sqrt-betas squared; DDPM.register_schedule, ddpm.py:125-177; DDIM tables,
+util.py:46-74 and ddim.py:25-54). Because they are static per-model they are
+baked into the jitted program as constants, never recomputed on device.
+
+Quirks deliberately preserved (the released checkpoints were trained on them):
+- DDIM uniform timestep subset is shifted by +1 (util.py:57).
+- `lvlb_weights[0] = lvlb_weights[1]` patch (ddpm.py:176).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+
+def make_beta_schedule(
+    schedule: str,
+    n_timestep: int,
+    linear_start: float = 1e-4,
+    linear_end: float = 2e-2,
+    cosine_s: float = 8e-3,
+) -> np.ndarray:
+    """Beta schedule in float64 (reference util.py:21-43)."""
+    if schedule == "linear":
+        betas = (
+            np.linspace(linear_start**0.5, linear_end**0.5, n_timestep, dtype=np.float64)
+            ** 2
+        )
+    elif schedule == "cosine":
+        timesteps = np.arange(n_timestep + 1, dtype=np.float64) / n_timestep + cosine_s
+        alphas = np.cos(timesteps / (1 + cosine_s) * np.pi / 2) ** 2
+        alphas = alphas / alphas[0]
+        betas = 1 - alphas[1:] / alphas[:-1]
+        betas = np.clip(betas, 0, 0.999)
+    elif schedule == "sqrt_linear":
+        betas = np.linspace(linear_start, linear_end, n_timestep, dtype=np.float64)
+    elif schedule == "sqrt":
+        betas = np.linspace(linear_start, linear_end, n_timestep, dtype=np.float64) ** 0.5
+    else:
+        raise ValueError(f"schedule {schedule!r} unknown")
+    return betas
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionSchedule:
+    """Frozen per-model diffusion tables (all float32, shape (T,))."""
+
+    betas: np.ndarray
+    alphas_cumprod: np.ndarray
+    alphas_cumprod_prev: np.ndarray
+    sqrt_alphas_cumprod: np.ndarray
+    sqrt_one_minus_alphas_cumprod: np.ndarray
+    log_one_minus_alphas_cumprod: np.ndarray
+    sqrt_recip_alphas_cumprod: np.ndarray
+    sqrt_recipm1_alphas_cumprod: np.ndarray
+    posterior_variance: np.ndarray
+    posterior_log_variance_clipped: np.ndarray
+    posterior_mean_coef1: np.ndarray
+    posterior_mean_coef2: np.ndarray
+    lvlb_weights: np.ndarray
+
+    @property
+    def num_timesteps(self) -> int:
+        return int(self.betas.shape[0])
+
+    @classmethod
+    def create(
+        cls,
+        timesteps: int = 1000,
+        beta_schedule: str = "linear",
+        linear_start: float = 1e-4,
+        linear_end: float = 2e-2,
+        cosine_s: float = 8e-3,
+        given_betas: np.ndarray | None = None,
+        v_posterior: float = 0.0,
+        parameterization: str = "eps",
+    ) -> "DiffusionSchedule":
+        """Replicates DDPM.register_schedule (reference ddpm.py:125-177)."""
+        if given_betas is not None:
+            betas = np.asarray(given_betas, dtype=np.float64)
+        else:
+            betas = make_beta_schedule(
+                beta_schedule, timesteps, linear_start, linear_end, cosine_s
+            )
+        alphas = 1.0 - betas
+        alphas_cumprod = np.cumprod(alphas, axis=0)
+        alphas_cumprod_prev = np.append(1.0, alphas_cumprod[:-1])
+
+        posterior_variance = (1 - v_posterior) * betas * (
+            1.0 - alphas_cumprod_prev
+        ) / (1.0 - alphas_cumprod) + v_posterior * betas
+
+        if parameterization == "eps":
+            # posterior_variance[0] == 0 -> inf at index 0, patched below
+            # exactly as the reference does (ddpm.py:169-177).
+            with np.errstate(divide="ignore"):
+                lvlb_weights = betas**2 / (
+                    2 * posterior_variance * alphas * (1 - alphas_cumprod)
+                )
+        elif parameterization == "x0":
+            lvlb_weights = 0.5 * np.sqrt(alphas_cumprod) / (2.0 * 1 - alphas_cumprod)
+        else:
+            raise NotImplementedError(parameterization)
+        lvlb_weights = lvlb_weights.copy()
+        lvlb_weights[0] = lvlb_weights[1]
+        assert not np.isnan(lvlb_weights).any()
+
+        f32 = lambda a: np.asarray(a, dtype=np.float32)
+        return cls(
+            betas=f32(betas),
+            alphas_cumprod=f32(alphas_cumprod),
+            alphas_cumprod_prev=f32(alphas_cumprod_prev),
+            sqrt_alphas_cumprod=f32(np.sqrt(alphas_cumprod)),
+            sqrt_one_minus_alphas_cumprod=f32(np.sqrt(1.0 - alphas_cumprod)),
+            log_one_minus_alphas_cumprod=f32(np.log(1.0 - alphas_cumprod)),
+            sqrt_recip_alphas_cumprod=f32(np.sqrt(1.0 / alphas_cumprod)),
+            sqrt_recipm1_alphas_cumprod=f32(np.sqrt(1.0 / alphas_cumprod - 1)),
+            posterior_variance=f32(posterior_variance),
+            posterior_log_variance_clipped=f32(
+                np.log(np.maximum(posterior_variance, 1e-20))
+            ),
+            posterior_mean_coef1=f32(
+                betas * np.sqrt(alphas_cumprod_prev) / (1.0 - alphas_cumprod)
+            ),
+            posterior_mean_coef2=f32(
+                (1.0 - alphas_cumprod_prev) * np.sqrt(alphas) / (1.0 - alphas_cumprod)
+            ),
+            lvlb_weights=f32(lvlb_weights),
+        )
+
+
+def make_ddim_timesteps(
+    ddim_discr_method: str, num_ddim_timesteps: int, num_ddpm_timesteps: int
+) -> np.ndarray:
+    """DDIM timestep subset incl. the reference's +1 shift (util.py:46-60)."""
+    if ddim_discr_method == "uniform":
+        c = num_ddpm_timesteps // num_ddim_timesteps
+        ddim_timesteps = np.asarray(list(range(0, num_ddpm_timesteps, c)))
+    elif ddim_discr_method == "quad":
+        ddim_timesteps = (
+            (np.linspace(0, np.sqrt(num_ddpm_timesteps * 0.8), num_ddim_timesteps)) ** 2
+        ).astype(int)
+    else:
+        raise NotImplementedError(ddim_discr_method)
+    return ddim_timesteps + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class DDIMSchedule:
+    """Per-step DDIM tables, ordered by sampling *step* (reverse time).
+
+    Index 0 is the first sampler update (largest t). Feeding these straight
+    into a `lax.scan` makes the whole sampler one XLA while-loop with the
+    constants gathered per step — no host round trips.
+    """
+
+    timesteps: np.ndarray  # (S,) int32, descending
+    alphas: np.ndarray  # a_t per step
+    alphas_prev: np.ndarray
+    sqrt_one_minus_alphas: np.ndarray
+    sigmas: np.ndarray
+
+    @property
+    def num_steps(self) -> int:
+        return int(self.timesteps.shape[0])
+
+
+def make_ddim_schedule(
+    schedule: DiffusionSchedule,
+    num_steps: int,
+    eta: float = 0.0,
+    method: str = "uniform",
+) -> DDIMSchedule:
+    """DDIM tables (reference util.py:63-74, ddim.py:25-54), reverse ordered."""
+    ts = make_ddim_timesteps(method, num_steps, schedule.num_timesteps)
+    acp = schedule.alphas_cumprod.astype(np.float64)
+    alphas = acp[ts]
+    alphas_prev = np.asarray([acp[0]] + acp[ts[:-1]].tolist())
+    sigmas = eta * np.sqrt(
+        (1 - alphas_prev) / (1 - alphas) * (1 - alphas / alphas_prev)
+    )
+    rev = slice(None, None, -1)
+    return DDIMSchedule(
+        timesteps=np.ascontiguousarray(ts[rev]).astype(np.int32),
+        alphas=np.ascontiguousarray(alphas[rev]).astype(np.float32),
+        alphas_prev=np.ascontiguousarray(alphas_prev[rev]).astype(np.float32),
+        sqrt_one_minus_alphas=np.ascontiguousarray(
+            np.sqrt(1.0 - alphas)[rev]
+        ).astype(np.float32),
+        sigmas=np.ascontiguousarray(sigmas[rev]).astype(np.float32),
+    )

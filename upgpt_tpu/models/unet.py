@@ -1,0 +1,335 @@
+"""SD-style denoising U-Net, TPU-native (NHWC, bf16 compute, fp32 islands).
+
+Re-designed from the behavior of the reference UNetModel
+(ldm/modules/diffusionmodules/openaimodel.py:413-742) and SpatialTransformer
+stack (ldm/modules/attention.py:37-261). Structure for the released UPGPT
+variants:
+
+- interp_256/pt_256: in=5 (4 latent + 1 person-mask concat), out=4,
+  model_channels=224, ch_mult (1,2,4,4), 2 resblocks/level, heads 8,
+  SpatialTransformer depth 1 with 768-dim context at ds 1/2/4
+  (models/upgpt/interp_256/config.yaml:40-55).
+- upscale: in=6 (3 latent + 3 lr-image concat), out=3, model_channels=256,
+  attn at ds 2/4/8 (models/upgpt/upscale/config.yaml:37-59).
+
+Numerics matched to the reference: GroupNorm(32) in fp32 (eps 1e-5 in
+resblocks / out head via `normalization`, eps 1e-6 in SpatialTransformer's
+entry norm), exact-erf GELU in the GEGLU FF (torch F.gelu default,
+attention.py:37-44), fp32 softmax, zero-initialized output projections
+(zero_module, util.py:174-180), cos-first sinusoidal timestep embedding.
+
+TPU-first choices: everything NHWC so convs hit the MXU without layout
+transposes; channel-concat conditioning on the trailing axis; attention heads
+stay packed in the channel dim until the attention op; `use_checkpoint`
+lowers to `flax.linen.remat` over transformer blocks and resblocks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from upgpt_tpu.ops.attention import multi_head_attention
+from upgpt_tpu.ops.basic import group_norm, nearest_upsample_2x, silu, timestep_embedding
+
+Dtype = jnp.dtype
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 5
+    model_channels: int = 224
+    out_channels: int = 4
+    num_res_blocks: int = 2
+    attention_resolutions: Tuple[int, ...] = (4, 2, 1)
+    channel_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    num_heads: int = 8
+    transformer_depth: int = 1
+    context_dim: Optional[int] = 768
+    dropout: float = 0.0
+    conv_resample: bool = True
+    use_checkpoint: bool = False
+    use_flash_attention: bool = True
+    dtype: Dtype = jnp.float32
+
+    @classmethod
+    def interp_256(cls, **overrides) -> "UNetConfig":
+        return dataclasses.replace(cls(), **overrides)
+
+    @classmethod
+    def upscale_512(cls, **overrides) -> "UNetConfig":
+        base = cls(
+            in_channels=6,
+            model_channels=256,
+            out_channels=3,
+            attention_resolutions=(8, 4, 2),
+            channel_mult=(1, 2, 4, 4),
+        )
+        return dataclasses.replace(base, **overrides)
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm(32) with fp32 statistics (reference util.py:214-216)."""
+
+    channels: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.channels,))
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        return group_norm(x, scale, bias, num_groups=32, eps=self.eps)
+
+
+def conv3x3(features: int, dtype, zero_init: bool = False, name: str | None = None,
+            strides: int = 1) -> nn.Conv:
+    init = nn.initializers.zeros_init() if zero_init else nn.initializers.lecun_normal()
+    return nn.Conv(
+        features, (3, 3), strides=(strides, strides), padding=1,
+        kernel_init=init, dtype=dtype, name=name,
+    )
+
+
+class ResBlock(nn.Module):
+    """GN->SiLU->conv, FiLM-add timestep emb, GN->SiLU->zero-conv, residual.
+
+    Reference openaimodel.py:163-275 (use_scale_shift_norm=False path — the
+    UPGPT configs never enable FiLM scale/shift, only the additive form).
+    """
+
+    out_channels: int
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb, *, deterministic: bool = True):
+        in_ch = x.shape[-1]
+        h = GroupNorm32(in_ch, name="norm_in")(x)
+        h = silu(h)
+        h = conv3x3(self.out_channels, self.dtype, name="conv_in")(h)
+        emb_out = nn.Dense(self.out_channels, dtype=self.dtype, name="emb_proj")(silu(emb))
+        h = h + emb_out[:, None, None, :].astype(h.dtype)
+        h = GroupNorm32(self.out_channels, name="norm_out")(h)
+        h = silu(h)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = conv3x3(self.out_channels, self.dtype, zero_init=True, name="conv_out")(h)
+        if in_ch != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="skip")(x)
+        return x + h
+
+
+class CrossAttention(nn.Module):
+    """q from x, k/v from context (or x if None); no-bias in-projections.
+
+    Reference attention.py:152-193. Heads stay fused in the channel dim; the
+    fp32-softmax core lives in ops.attention.
+    """
+
+    num_heads: int
+    head_dim: int
+    out_dim: int
+    dtype: Dtype = jnp.float32
+    use_flash: bool = False
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        inner = self.num_heads * self.head_dim
+        context = x if context is None else context
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        out = multi_head_attention(q, k, v, self.num_heads, use_flash=self.use_flash)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="to_out")(out)
+
+
+class GEGLUFeedForward(nn.Module):
+    """GEGLU MLP: Dense(2*4d) -> x * gelu(gate) -> Dense(d).
+
+    Reference attention.py:37-64 with glu=True (the configured path). GELU is
+    the exact erf form to match torch's default.
+    """
+
+    dim: int
+    mult: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.dim * self.mult
+        xg = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
+        xh, gate = jnp.split(xg, 2, axis=-1)
+        x = xh * jax.nn.gelu(gate, approximate=False)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(x)
+
+
+class BasicTransformerBlock(nn.Module):
+    """pre-LN self-attn -> cross-attn(context) -> GEGLU FF, all residual.
+
+    Reference attention.py:196-215.
+    """
+
+    dim: int
+    num_heads: int
+    head_dim: int
+    dtype: Dtype = jnp.float32
+    use_flash: bool = False
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=name)
+        x = CrossAttention(
+            self.num_heads, self.head_dim, self.dim, self.dtype,
+            use_flash=self.use_flash, name="attn1",
+        )(ln("norm1")(x).astype(x.dtype)) + x
+        x = CrossAttention(
+            self.num_heads, self.head_dim, self.dim, self.dtype, name="attn2",
+        )(ln("norm2")(x).astype(x.dtype), context=context) + x
+        x = GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(
+            ln("norm3")(x).astype(x.dtype)
+        ) + x
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """GN(1e-6) -> 1x1 in-proj -> token transformer -> zero 1x1 out-proj + res.
+
+    Reference attention.py:218-261. Tokens are the flattened H*W grid.
+    """
+
+    channels: int
+    num_heads: int
+    head_dim: int
+    depth: int = 1
+    dtype: Dtype = jnp.float32
+    use_flash: bool = False
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        b, h, w, c = x.shape
+        inner = self.num_heads * self.head_dim
+        res = x
+        x = GroupNorm32(c, eps=1e-6, name="norm")(x)
+        x = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(x)
+        x = x.reshape(b, h * w, inner)
+        for i in range(self.depth):
+            x = BasicTransformerBlock(
+                inner, self.num_heads, self.head_dim, self.dtype,
+                use_flash=self.use_flash, name=f"block_{i}",
+            )(x, context=context)
+        x = x.reshape(b, h, w, inner)
+        x = nn.Conv(
+            c, (1, 1), kernel_init=nn.initializers.zeros_init(),
+            dtype=self.dtype, name="proj_out",
+        )(x)
+        return x + res
+
+
+class Downsample(nn.Module):
+    """3x3 stride-2 conv, SAME-1 padding (reference openaimodel.py:134-160)."""
+
+    channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return conv3x3(self.channels, self.dtype, name="conv", strides=2)(x)
+
+
+class Upsample(nn.Module):
+    """2x nearest + 3x3 conv (reference openaimodel.py:91-119)."""
+
+    channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return conv3x3(self.channels, self.dtype, name="conv")(nearest_upsample_2x(x))
+
+
+class UNetModel(nn.Module):
+    """The denoiser. __call__(x_nhwc, timesteps, context) -> eps prediction.
+
+    `x` already carries any channel-concat conditioning (mask / lr image) on
+    the trailing axis — the DiffusionWrapper 'hybrid' routing
+    (reference ddpm.py:1550-1577) happens in the caller.
+    """
+
+    config: UNetConfig
+
+    @nn.compact
+    def __call__(self, x, timesteps, context=None, *, deterministic: bool = True):
+        cfg = self.config
+        comp = cfg.dtype
+
+        t_emb = timestep_embedding(timesteps, cfg.model_channels)
+        emb = nn.Dense(cfg.model_channels * 4, dtype=comp, name="time_embed_0")(
+            t_emb.astype(comp)
+        )
+        emb = nn.Dense(cfg.model_channels * 4, dtype=comp, name="time_embed_2")(silu(emb))
+        if context is not None:
+            context = context.astype(comp)
+
+        res_block = ResBlock
+        transformer = SpatialTransformer
+        if cfg.use_checkpoint:
+            res_block = nn.remat(ResBlock, static_argnums=())
+            transformer = nn.remat(SpatialTransformer, static_argnums=())
+
+        def attn_layer(ch: int, ds: int, name: str):
+            head_dim = ch // cfg.num_heads
+            return transformer(
+                ch, cfg.num_heads, head_dim, depth=cfg.transformer_depth,
+                dtype=comp, use_flash=cfg.use_flash_attention, name=name,
+            )
+
+        h = conv3x3(cfg.model_channels, comp, name="conv_in")(x.astype(comp))
+        hs = [h]
+        ch = cfg.model_channels
+        ds = 1
+        # --- encoder ---
+        for level, mult in enumerate(cfg.channel_mult):
+            for i in range(cfg.num_res_blocks):
+                ch = mult * cfg.model_channels
+                h = res_block(
+                    ch, cfg.dropout, comp, name=f"down_{level}_{i}_res"
+                )(h, emb, deterministic=deterministic)
+                if ds in cfg.attention_resolutions:
+                    h = attn_layer(ch, ds, name=f"down_{level}_{i}_attn")(h, context)
+                hs.append(h)
+            if level != len(cfg.channel_mult) - 1:
+                h = Downsample(ch, comp, name=f"down_{level}_downsample")(h)
+                hs.append(h)
+                ds *= 2
+        # --- middle ---
+        h = res_block(ch, cfg.dropout, comp, name="mid_res1")(
+            h, emb, deterministic=deterministic
+        )
+        h = attn_layer(ch, ds, name="mid_attn")(h, context)
+        h = res_block(ch, cfg.dropout, comp, name="mid_res2")(
+            h, emb, deterministic=deterministic
+        )
+        # --- decoder ---
+        for level, mult in reversed(list(enumerate(cfg.channel_mult))):
+            for i in range(cfg.num_res_blocks + 1):
+                skip = hs.pop()
+                h = jnp.concatenate([h, skip], axis=-1)
+                ch = cfg.model_channels * mult
+                h = res_block(
+                    ch, cfg.dropout, comp, name=f"up_{level}_{i}_res"
+                )(h, emb, deterministic=deterministic)
+                if ds in cfg.attention_resolutions:
+                    h = attn_layer(ch, ds, name=f"up_{level}_{i}_attn")(h, context)
+                if level and i == cfg.num_res_blocks:
+                    h = Upsample(ch, comp, name=f"up_{level}_upsample")(h)
+                    ds //= 2
+        assert not hs
+        # --- out head ---
+        h = GroupNorm32(ch, name="out_norm")(h)
+        h = silu(h)
+        h = conv3x3(cfg.out_channels, comp, zero_init=True, name="out_conv")(h)
+        return h.astype(jnp.float32)

@@ -1,0 +1,100 @@
+"""Pallas TPU attention kernel for the U-Net's long self-attention paths.
+
+Design notes (TPU-first, not a port — the reference computes full O(N^2)
+einsum attention in torch, attention.py:180-192):
+
+The UPGPT workload has two attention regimes:
+- short sequences (48-768 latent tokens at 256px, 87-163 context tokens):
+  XLA's fused einsum+softmax is already near roofline; a custom kernel buys
+  nothing, so `flash_attention_qualifies` rejects these.
+- long self-attention (3072 latent tokens for the 512px / upscale models,
+  head_dim 64-256): the (3072, 3072) fp32 score tensor round-trips HBM under
+  XLA. This kernel blocks over queries, keeps K/V resident in VMEM (T <= 4096
+  always holds for this model family), computes scores in fp32 on the MXU and
+  never materializes them in HBM.
+
+Layout: (B, H, T, D) with B*H folded into the grid's first axis; D padded to
+a multiple of 128 lanes by the wrapper. Softmax is numerically exact (full-row
+max/sum — no online rescaling needed because the whole key axis is resident).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+_MAX_RESIDENT_T = 4096  # K/V stay VMEM-resident; beyond this, fall back to XLA.
+
+
+def flash_attention_qualifies(b: int, h: int, tq: int, tk: int, d: int, dtype) -> bool:
+    """True when the Pallas path is both legal and profitable."""
+    if dtype not in (jnp.bfloat16, jnp.float32):
+        return False
+    if tq != tk or tq < 1024 or tk > _MAX_RESIDENT_T:
+        return False
+    if tq % 256 != 0:
+        return False
+    return d <= 256
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    q = q_ref[0]  # (Bq, D)
+    k = k_ref[0]  # (T, D)
+    v = v_ref[0]  # (T, D)
+    scores = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Bq, T)
+    scores = scores * scale
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = (p / denom).astype(v.dtype)
+    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q",))
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, block_q: int = 256) -> jax.Array:
+    """Attention over (B, H, T, D) tensors; returns (B, H, T, D).
+
+    Scale is 1/sqrt(D_logical) applied to fp32 scores inside the kernel
+    (same math as the reference's two conventions; see ops/attention.py).
+    """
+    b, h, t, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    d_pad = -(-d // _LANES) * _LANES
+    if d_pad != d:
+        pad = [(0, 0)] * 3 + [(0, d_pad - d)]
+        q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
+
+    bh = b * h
+    qf = q.reshape(bh, t, d_pad)
+    kf = k.reshape(bh, t, d_pad)
+    vf = v.reshape(bh, t, d_pad)
+
+    grid = (bh, t // block_q)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((bh, t, d_pad), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * t * t * d_pad,
+            bytes_accessed=bh * t * d_pad * 4 * q.dtype.itemsize,
+            transcendentals=bh * t * t,
+        ),
+    )(qf, kf, vf)
+    out = out.reshape(b, h, t, d_pad)
+    return out[..., :d] if d_pad != d else out
