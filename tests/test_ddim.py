@@ -1,0 +1,124 @@
+"""DDIM sampler parity vs the reference DDIMSampler on a shared mock model."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import torch
+
+from reference_loader import add_reference_to_path, reference_available
+from upgpt_tpu.diffusion.schedule import DiffusionSchedule, make_ddim_schedule
+from upgpt_tpu.diffusion.ddim import ddim_sample, ddim_stochastic_encode
+
+
+def _mock_eps_np(x, t):
+    """Deterministic mock eps-model, layout-free (elementwise)."""
+    return 0.1 * x * np.cos(0.01 * t.reshape(-1, 1, 1, 1)) + 0.05
+
+
+class _TorchMockModel:
+    parameterization = "eps"
+
+    def __init__(self, schedule: DiffusionSchedule):
+        self.num_timesteps = schedule.num_timesteps
+        self.betas = torch.from_numpy(schedule.betas)
+        self.alphas_cumprod = torch.from_numpy(schedule.alphas_cumprod)
+        self.alphas_cumprod_prev = torch.from_numpy(schedule.alphas_cumprod_prev)
+        self.sqrt_one_minus_alphas_cumprod = torch.from_numpy(
+            schedule.sqrt_one_minus_alphas_cumprod
+        )
+        self.device = torch.device("cpu")
+
+    def apply_model(self, x, t, c):
+        return torch.from_numpy(
+            _mock_eps_np(x.numpy(), t.numpy().astype(np.float32))
+        ).to(x.dtype)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference tree not present")
+@pytest.mark.parametrize("eta,steps", [(0.0, 20), (1.0, 25)])
+def test_ddim_parity_deterministic(eta, steps):
+    """eta>0 is made deterministic with temperature=0 so the sigma term still
+    exercises dir_xt while the noise draw (framework RNGs differ) is zeroed."""
+    add_reference_to_path()
+    from ldm.models.diffusion.ddim import DDIMSampler
+
+    schedule = DiffusionSchedule.create(1000, linear_start=0.00085, linear_end=0.0120)
+    tmodel = _TorchMockModel(schedule)
+    sampler = DDIMSampler(tmodel)
+    # reference register_buffer force-moves to CUDA; neutralize for CPU
+    sampler.register_buffer = lambda name, attr: setattr(sampler, name, attr)
+    sampler.make_schedule(ddim_num_steps=steps, ddim_eta=eta, verbose=False)
+
+    rng = np.random.default_rng(0)
+    x_T = rng.normal(size=(2, 4, 4, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        want, _ = sampler.ddim_sampling(
+            cond=None, shape=x_T.shape, x_T=torch.from_numpy(x_T),
+            temperature=0.0, log_every_t=10**9,
+        )
+    want = want.numpy()
+
+    ddim = make_ddim_schedule(schedule, steps, eta=eta)
+
+    def eps_model(x, t, cond):
+        return 0.1 * x * jnp.cos(0.01 * t.astype(jnp.float32))[:, None, None, None] + 0.05
+
+    got = ddim_sample(
+        eps_model, schedule, ddim, x_T.shape, cond={},
+        key=jax.random.PRNGKey(0), x_T=jnp.asarray(x_T), temperature=0.0,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4, rtol=1e-4)
+
+
+def test_ddim_eta0_sigma_zero_noise_free():
+    schedule = DiffusionSchedule.create(1000, linear_start=0.00085, linear_end=0.0120)
+    ddim = make_ddim_schedule(schedule, 10, eta=0.0)
+
+    def eps_model(x, t, cond):
+        return jnp.zeros_like(x)
+
+    x_T = jnp.ones((1, 2, 2, 4))
+    out1 = ddim_sample(eps_model, schedule, ddim, x_T.shape, {}, jax.random.PRNGKey(1), x_T=x_T)
+    out2 = ddim_sample(eps_model, schedule, ddim, x_T.shape, {}, jax.random.PRNGKey(2), x_T=x_T)
+    # eta=0 + fixed x_T: fully deterministic regardless of key
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    # zero eps telescopes: final = x_T * sqrt(acp[0] / acp[t_first])
+    want = np.asarray(x_T) * np.sqrt(
+        schedule.alphas_cumprod[0] / schedule.alphas_cumprod[ddim.timesteps[0]]
+    )
+    np.testing.assert_allclose(np.asarray(out1), want, rtol=1e-4)
+
+
+def test_cfg_batch_doubling():
+    schedule = DiffusionSchedule.create(100, linear_start=0.00085, linear_end=0.0120)
+    ddim = make_ddim_schedule(schedule, 5, eta=0.0)
+    calls = []
+
+    def eps_model(x, t, cond):
+        calls.append(x.shape[0])
+        return cond["c"][:, None, None, None] * jnp.ones_like(x) * 0.01
+
+    cond = {"c": jnp.ones((2,))}
+    uncond = {"c": jnp.zeros((2,))}
+    out = ddim_sample(
+        eps_model, schedule, ddim, (2, 2, 2, 4), cond,
+        key=jax.random.PRNGKey(0), x_T=jnp.zeros((2, 2, 2, 4)),
+        guidance_scale=3.0, uncond=uncond,
+    )
+    assert calls and calls[0] == 4  # doubled batch
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_stochastic_encode_matches_closed_form():
+    schedule = DiffusionSchedule.create(1000, linear_start=0.00085, linear_end=0.0120)
+    ddim = make_ddim_schedule(schedule, 50, eta=0.0)
+    x0 = jnp.ones((2, 2, 2, 3))
+    noise = jnp.full_like(x0, 0.5)
+    t_idx = jnp.asarray([10, 30])
+    got = ddim_stochastic_encode(schedule, ddim, x0, t_idx, jax.random.PRNGKey(0), noise)
+    a_fwd = ddim.alphas[::-1]
+    for b, ti in enumerate([10, 30]):
+        want = np.sqrt(a_fwd[ti]) * 1.0 + np.sqrt(1 - a_fwd[ti]) * 0.5
+        np.testing.assert_allclose(np.asarray(got[b]), want, rtol=1e-5)

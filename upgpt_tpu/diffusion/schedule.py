@@ -149,7 +149,16 @@ def make_ddim_timesteps(
         ).astype(int)
     else:
         raise NotImplementedError(ddim_discr_method)
-    return ddim_timesteps + 1
+    steps_out = ddim_timesteps + 1
+    if steps_out.max() >= num_ddpm_timesteps:
+        # the reference crashes later on the same input (acp[T] gather);
+        # fail early with a usable message instead
+        raise ValueError(
+            f"num_ddim_timesteps={num_ddim_timesteps} must divide "
+            f"num_ddpm_timesteps={num_ddpm_timesteps} for the uniform method "
+            f"(+1 shift would index step {steps_out.max()})"
+        )
+    return steps_out
 
 
 @dataclasses.dataclass(frozen=True)

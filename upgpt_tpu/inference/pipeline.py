@@ -1,0 +1,230 @@
+"""Inference surfaces: generation, style mixing, pose interpolation, upscale.
+
+TPU-native counterpart of the reference's InferenceModel + app paths
+(ldm/data/generate_utils.py:131-190, app.py:262-409): here the U-Net DDIM
+loop and the VAE decode compile into ONE jitted XLA program per (config,
+steps, batch-shape); multi-frame pose interpolation is a batched transform
+feeding that single program, so U-Net weights are amortized across frames on
+the lane dimension.
+
+Conditioning enters as embeddings — text (77, 768) last-hidden-state, style
+slots (9, 768) pooled CLIP image embeddings, SMPL (1, 85) raw vector — which
+is exactly the reference's inference contract (its style stage is swapped to
+a DummyModel passthrough because mix_style precomputes embeddings,
+generate_utils.py:142).
+
+Quirks preserved on purpose:
+- shared seeded x_T across the batch (ddpm.py:1433-1437): one noise draw
+  broadcast over the batch when `shared_x_T=True`.
+- interpolation-mask fill values -1 (background) / -0.99215686 (box), the
+  /255 backward-compat constant (generate_utils.py:103-128).
+- the released eval protocol's inert CFG: guidance defaults to off exactly
+  like log_images never builds an unconditional batch (ddpm.py:1380-1444).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from upgpt_tpu.diffusion.ddim import ddim_sample
+from upgpt_tpu.diffusion.latent_diffusion import LatentDiffusion
+from upgpt_tpu.diffusion.schedule import make_ddim_schedule
+
+# 9 style slots, fixed order (reference deepfashion_inshop.py:21)
+STYLE_NAMES = (
+    "face", "hair", "headwear", "background", "top",
+    "outer", "bottom", "shoes", "accesories",
+)
+
+MASK_BG = -1.0
+MASK_BOX = -0.99215686  # 253/255-scaled bbox value (generate_utils.py:117)
+
+
+class GenerationPipeline:
+    """One fully-jitted text+style+pose -> image sampler for a model variant."""
+
+    def __init__(
+        self,
+        model: LatentDiffusion,
+        num_steps: int = 200,
+        eta: float = 1.0,
+        guidance_scale: float = 1.0,
+        decode: bool = True,
+    ):
+        self.model = model
+        self.num_steps = num_steps
+        self.eta = eta
+        self.guidance_scale = guidance_scale
+        self.decode = decode
+        self.ddim = make_ddim_schedule(model.schedule, num_steps, eta=eta)
+        self._sample = jax.jit(self._sample_impl, static_argnames=("shared_x_T",))
+
+    def _sample_impl(
+        self,
+        params: Dict[str, Any],
+        batch: Dict[str, jax.Array],
+        key: jax.Array,
+        *,
+        shared_x_T: bool = False,
+    ) -> jax.Array:
+        model = self.model
+        cfg = model.config
+        context = model.build_context(
+            params,
+            batch["text_emb"],
+            batch.get("style_emb"),
+            batch.get("smpl"),
+        )
+        cond = {"c_crossattn": context, "c_concat": batch.get("person_mask")}
+        uncond = batch.get("uncond")  # optional dict for real CFG
+
+        b = batch["text_emb"].shape[0]
+        h, w = cfg.latent_size
+        shape = (b, h, w, cfg.latent_channels)
+
+        key, k_noise = jax.random.split(key)
+        if shared_x_T:
+            x_T = jax.random.normal(k_noise, (1, h, w, cfg.latent_channels))
+            x_T = jnp.broadcast_to(x_T, shape)
+        else:
+            x_T = jax.random.normal(k_noise, shape)
+
+        def eps_model(x, t, c):
+            return model.apply_model(params, x, t, c)
+
+        z = ddim_sample(
+            eps_model, model.schedule, self.ddim, shape, cond, key,
+            x_T=x_T, guidance_scale=self.guidance_scale, uncond=uncond,
+        )
+        if not self.decode:
+            return z
+        img = model.decode_first_stage(params, z)
+        return jnp.clip(img, -1.0, 1.0)
+
+    def generate(
+        self,
+        params: Dict[str, Any],
+        batch: Dict[str, jax.Array],
+        key: jax.Array,
+        *,
+        shared_x_T: bool = False,
+    ) -> jax.Array:
+        """Returns decoded images in [-1, 1] NHWC (or latents if decode=False)."""
+        return self._sample(params, batch, key, shared_x_T=shared_x_T)
+
+
+# ---------------- style mixing ----------------
+
+
+def mix_style(
+    style_image_emb: jax.Array,
+    text_pooled_emb: Optional[jax.Array] = None,
+    text_override: Optional[Sequence[bool]] = None,
+    drop_slots: Optional[Sequence[int]] = None,
+    empty_style_emb: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Per-slot text<->image embedding swap (generate_utils.py:172-190).
+
+    style_image_emb: (9, 768) or (B, 9, 768) CLIP image embeddings.
+    text_pooled_emb: same shape, pooled CLIP text embeddings per slot.
+    text_override[i]: replace slot i's image embedding with its text one.
+    drop_slots: slot indices masked to the empty-style embedding.
+    """
+    out = style_image_emb
+    if drop_slots and empty_style_emb is not None:
+        for i in drop_slots:
+            out = out.at[..., i, :].set(empty_style_emb)
+    if text_pooled_emb is not None and text_override is not None:
+        sel = jnp.asarray(text_override, bool).reshape(
+            (1,) * (out.ndim - 2) + (-1, 1)
+        )
+        out = jnp.where(sel, text_pooled_emb, out)
+    return out
+
+
+# ---------------- pose / mask interpolation ----------------
+
+
+def interpolate_smpl(
+    smpl_src: jax.Array, smpl_dst: jax.Array, alphas: jax.Array
+) -> jax.Array:
+    """(85,)-vector lerp per frame: alpha*src + (1-alpha)*dst
+    (reference app.py:298-300). alphas (F,) -> (F, 1, 85)."""
+    a = alphas.reshape(-1, *([1] * smpl_src.ndim))
+    return a * smpl_src[None] + (1.0 - a) * smpl_dst[None]
+
+
+def _mask_bbox(mask: np.ndarray) -> np.ndarray:
+    """bbox (rmin, rmax, cmin, cmax) of mask pixels above background
+    (generate_utils.py:103-113: -1 is background)."""
+    m = np.array(mask, dtype=np.float32)
+    m[m == MASK_BG] = 0.0
+    rows = np.nonzero(np.mean(m, axis=1))[0]
+    cols = np.nonzero(np.mean(m, axis=0))[0]
+    return np.array([rows[0], rows[-1], cols[0], cols[-1]], dtype=np.float64)
+
+
+def interp_mask(
+    src_mask: np.ndarray, dst_mask: np.ndarray, alpha: float
+) -> np.ndarray:
+    """bbox-corner lerp with the reference's fill constants
+    (generate_utils.py:121-128). Host-side numpy; (h, w) or (h, w, 1)."""
+    squeeze = src_mask.ndim == 3
+    s = src_mask[..., 0] if squeeze else src_mask
+    d = dst_mask[..., 0] if squeeze else dst_mask
+    c1, c2 = _mask_bbox(s), _mask_bbox(d)
+    rmin, rmax, cmin, cmax = (alpha * c1 + (1 - alpha) * c2).astype(np.int32)
+    out = np.full_like(s, MASK_BG, dtype=np.float32)
+    out[rmin : rmax + 1, cmin : cmax + 1] = MASK_BOX
+    return out[..., None] if squeeze else out
+
+
+def interpolate_masks(
+    src_mask: np.ndarray, dst_mask: np.ndarray, alphas: Sequence[float]
+) -> np.ndarray:
+    """Stack of F interpolated masks for a batched sampler call."""
+    return np.stack([interp_mask(src_mask, dst_mask, float(a)) for a in alphas])
+
+
+# ---------------- 256 -> 512 upscale chain ----------------
+
+
+def prepare_lr_condition(image_256: jax.Array, out_hw: Tuple[int, int] = (128, 96)) -> jax.Array:
+    """256x192 sample -> low-res concat conditioning for the upscale stage.
+
+    Matches app.py:93-97: edge-pad 4 px left/right, bilinear resize to the
+    upscale stage's latent grid, values stay in [-1, 1]. NHWC in/out.
+    """
+    x = jnp.pad(image_256, ((0, 0), (0, 0), (4, 4), (0, 0)), mode="edge")
+    b, _, _, c = x.shape
+    return jax.image.resize(x, (b, out_hw[0], out_hw[1], c), method="bilinear")
+
+
+class UpscalePipeline:
+    """Chained 256->512: lr-concat conditioned diffusion in kl-f4 latent space
+    (app.py:379-409, models/upgpt/upscale/config.yaml)."""
+
+    def __init__(self, model: LatentDiffusion, num_steps: int = 200, eta: float = 1.0):
+        self.inner = GenerationPipeline(model, num_steps=num_steps, eta=eta)
+
+    def upscale(
+        self,
+        params: Dict[str, Any],
+        image_256: jax.Array,
+        text_emb: jax.Array,
+        style_emb: Optional[jax.Array],
+        key: jax.Array,
+    ) -> jax.Array:
+        lr = prepare_lr_condition(image_256)
+        batch = {
+            "text_emb": text_emb,
+            "style_emb": style_emb,
+            "person_mask": lr,  # c_concat slot carries the lr image (3ch)
+        }
+        return self.inner.generate(params, batch, key)

@@ -1,0 +1,7 @@
+from upgpt_tpu.parallel.mesh import (  # noqa: F401
+    create_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+    host_local_slice,
+)
