@@ -1,0 +1,185 @@
+"""Data pipeline tests over a synthetic mini-DeepFashion tree."""
+
+import json
+import pickle
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from upgpt_tpu.data.deepfashion import (
+    DataLoader, DeepFashionPair, STYLE_NAMES, collate, convert_fname, get_name,
+)
+from upgpt_tpu.data.segm import DeepfashionMMSegmenter, DeepfashionMMStyleSegmenter
+from upgpt_tpu.data.transforms import (
+    CLIP_MEAN, CLIP_STD, empty_style, mask_transform_binary, silhouette_bbox,
+)
+
+
+@pytest.fixture(scope="module")
+def fashion_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("deepfashion")
+    (root / "img_256").mkdir()
+    (root / "smpl_256").mkdir()
+    (root / "segm_256").mkdir()
+    rng = np.random.default_rng(0)
+
+    names = ["MEN/a_1_front.jpg", "WOMEN/b_1_front.jpg"]
+    rows = []
+    for i, name in enumerate(names):
+        img = Image.fromarray(rng.integers(0, 255, (256, 192, 3), np.uint8))
+        (root / "img_256" / name).parent.mkdir(exist_ok=True, parents=True)
+        img.save(root / "img_256" / name)
+
+        # smpl render + silhouette mask + pickle
+        smpl_img = Image.fromarray(rng.integers(0, 255, (256, 192, 3), np.uint8))
+        smpl_img.save(root / "smpl_256" / f"pose{i}.jpg")
+        mask = np.zeros((256, 192), np.uint8)
+        mask[40:200, 50:150] = 255
+        Image.fromarray(mask).save(root / "smpl_256" / f"pose{i}_mask.png")
+        with open(root / "smpl_256" / f"pose{i}.p", "wb") as f:
+            pickle.dump([{
+                "pred_body_pose": rng.normal(size=(1, 72)).astype(np.float32),
+                "pred_betas": rng.normal(size=(1, 10)).astype(np.float32),
+                "pred_camera": rng.normal(size=(3,)).astype(np.float32),
+            }], f)
+
+        # segm map (labels 0=background, 14=face, 15=skin)
+        segm = np.zeros((256, 192), np.uint8)
+        segm[10:60, 60:120] = 14
+        segm[60:200, 50:140] = 15
+        seg_path = root / "segm_256" / name.replace(".jpg", "_segm.png")
+        seg_path.parent.mkdir(exist_ok=True, parents=True)
+        Image.fromarray(segm).save(seg_path)
+
+        # style crops for a few slots
+        sd = root / "styles" / f"s{i}"
+        sd.mkdir(parents=True)
+        for slot in ("face", "top"):
+            Image.fromarray(rng.integers(0, 255, (224, 224, 3), np.uint8)).save(
+                sd / f"{slot}.jpg"
+            )
+        rows.append({"image": name, "text": f"t{i}", "pose": f"pose{i}",
+                     "styles": f"s{i}"})
+
+    with open(root / "captions.json", "w") as f:
+        json.dump({"t0": "a man", "t1": "a woman"}, f)
+
+    import csv
+    with open(root / "map.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["image", "text", "pose", "styles"])
+        w.writeheader()
+        for i, name in enumerate(names):
+            w.writerow({"image": name, "text": f"t{i}",
+                        "pose": f"pose{i}", "styles": f"s{i}"})
+    # remap map keys to original names with slashes
+    with open(root / "map.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["image", "text", "pose", "styles"])
+        w.writeheader()
+        for i, name in enumerate(names):
+            w.writerow({"image": name, "text": f"t{i}",
+                        "pose": f"pose{i}", "styles": f"s{i}"})
+
+    with open(root / "pairs.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["from", "to"])
+        w.writeheader()
+        w.writerow({"from": names[0], "to": names[1]})
+        w.writerow({"from": names[1], "to": names[0]})
+    return root
+
+
+def _make(root, **kw):
+    return DeepFashionPair(
+        folder=str(root), image_dir="img_256",
+        pair_file=[str(root / "pairs.csv")], data_file=str(root / "map.csv"),
+        image_size=(256, 192), f=8, input_mask_type="bbox", **kw,
+    )
+
+
+def test_pair_sample_contract(fashion_tree):
+    ds = _make(fashion_tree, loss_weight={"face": 5.0, "background": 0.5})
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["image"].shape == (256, 192, 3)
+    assert -1.0 <= s["image"].min() and s["image"].max() <= 1.0
+    assert s["styles"].shape == (9, 224, 224, 3)
+    assert s["smpl"].shape == (1, 85)
+    assert s["person_mask"].shape == (32, 24, 1)
+    assert s["loss_w"].shape == (32, 24, 1)
+    assert isinstance(s["txt"], str) and s["txt"] in ("a man", "a woman")
+    # per-part loss weights present
+    vals = set(np.unique(s["loss_w"]))
+    assert 5.0 in vals and 0.5 in vals and 1.0 in vals
+
+
+def test_bbox_255_bug_value(fashion_tree):
+    """The in-box mask value must be -0.99215686, NOT +1 — released weights
+    were trained on this bug (deepfashion_inshop.py:232-239)."""
+    ds = _make(fashion_tree)
+    m = ds[0]["person_mask"]
+    vals = np.unique(m)
+    assert set(np.round(vals, 6)) <= {-1.0, np.float32(np.round(1 / 255 * 2 - 1, 6))}
+    assert np.isclose(vals.max(), -0.99215686, atol=1e-6)
+
+
+def test_empty_style_slot_is_clip_normalized_zeros(fashion_tree):
+    ds = _make(fashion_tree)
+    s = ds[0]
+    # 'hair' slot has no file -> empty style
+    idx = STYLE_NAMES.index("hair")
+    want = (0.0 - CLIP_MEAN) / CLIP_STD
+    np.testing.assert_allclose(s["styles"][idx][0, 0], want, rtol=1e-5)
+
+
+def test_men_factor_oversampling(fashion_tree):
+    ds = _make(fashion_tree, men_factor=4)
+    # 2 rows + 4x the single MEN row
+    assert len(ds) == 6
+
+
+def test_skip_sample_on_broken_row(fashion_tree):
+    ds = _make(fashion_tree)
+    ds.rows = [{"from": "missing.jpg", "to": "missing.jpg"}] + ds.rows[:1]
+    s = ds[0]  # falls through to index 1
+    assert s["image"].shape == (256, 192, 3)
+
+
+def test_dataloader_batching(fashion_tree):
+    ds = _make(fashion_tree)
+    dl = DataLoader(ds, batch_size=2, shuffle=True, seed=1)
+    batch = next(dl.epoch(0))
+    assert batch["image"].shape == (2, 256, 192, 3)
+    assert batch["styles"].shape == (2, 9, 224, 224, 3)
+    assert isinstance(batch["txt"], list) and len(batch["txt"]) == 2
+
+
+def test_fname_conversion():
+    assert convert_fname("MEN/Denim/id_00000080/01_7_additional.jpg") == \
+        "fashionMENDenimid0000008001_7additional"
+    n = get_name("MEN/a/id_00000001/01_1_front.jpg", "MEN/a/id_00000001/01_2_side.jpg")
+    assert "___" in n
+
+
+def test_segmenter_crops(fashion_tree):
+    seg = DeepfashionMMStyleSegmenter()
+    rng = np.random.default_rng(1)
+    img = rng.uniform(0, 1, (256, 192, 3)).astype(np.float32)
+    segm = np.zeros((256, 192), np.uint8)
+    segm[10:60, 60:120] = 14  # face
+    segm[60:200, 50:140] = 1  # top
+    crops = seg(img, segm)
+    assert crops["face"].shape == (224, 224, 3)
+    assert crops["top"].shape == (224, 224, 3)
+    # slots with no pixels are zeros
+    assert crops["shoes"].sum() == 0
+    # background fill: everything is mean background color where not bg
+    assert crops["background"].shape == (224, 224, 3)
+
+
+def test_face_crop_rejected_if_tall():
+    seg = DeepfashionMMStyleSegmenter()
+    img = np.ones((256, 192, 3), np.float32)
+    segm = np.zeros((256, 192), np.uint8)
+    segm[10:250, 60:120] = 14  # 240px tall face -> rejected
+    crops = seg(img, segm)
+    assert crops["face"].sum() == 0

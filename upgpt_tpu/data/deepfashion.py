@@ -1,0 +1,356 @@
+"""DeepFashion in-shop datasets: pair / solo / super-resolution variants.
+
+Host-side numpy re-design of the reference Datasets
+(ldm/data/deepfashion_inshop.py:64-479). Emits HWC float32 numpy dicts ready
+for `np.stack` batching and device_put:
+
+    image (H, W, 3) in [-1,1] | txt str | src_image | fname |
+    styles (9, 224, 224, 3) CLIP-normalized (zeros-slot for missing) |
+    smpl (1, 85) = pred_body_pose(72) + pred_betas(10) + pred_camera(3) |
+    smpl_image | person_mask (h, w, 1) at latent res (one of 3 RPM modes,
+    incl. the bbox /255 bug) | loss_w (h, w, 1) optional
+
+Layout differences from the reference are deliberate (NHWC instead of CHW);
+value semantics are identical. Failure handling mirrors `skip_sample`
+(deepfashion_inshop.py:36-39,269-272): broken sample -> next (or random when
+shuffle). `men_factor` oversampling (109-112) and `df_filter` (103-104)
+preserved.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import random as _random
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+from upgpt_tpu.data.segm import DeepfashionMMSegmenter
+from upgpt_tpu.data.transforms import (
+    center_crop,
+    clip_normalize_image,
+    empty_style,
+    mask_transform_binary,
+    mask_transform_smpl,
+    pad_image,
+    resize_nearest,
+    silhouette_bbox,
+    to_tensor_range,
+)
+
+STYLE_NAMES = (
+    "face", "hair", "headwear", "background", "top",
+    "outer", "bottom", "shoes", "accesories",
+)
+
+
+def convert_fname(x: str) -> str:
+    """Image path -> flat fashion id (deepfashion_inshop.py:45-49)."""
+    a, b = os.path.split(x)
+    i = b.rfind("_")
+    x = a + "/" + b[:i] + b[i + 1:]
+    return "fashion" + x.split(".jpg")[0].replace("id_", "id").replace("/", "")
+
+
+def get_name(src: str, dst: str) -> str:
+    return convert_fname(src) + "___" + convert_fname(dst)
+
+
+def _read_csv(path: str) -> List[Dict[str, str]]:
+    """Minimal CSV reader (header + rows) — avoids a pandas dependency in
+    the hot loader path."""
+    import csv
+
+    with open(path, newline="") as f:
+        return list(csv.DictReader(f))
+
+
+class DeepFashionPair:
+    """Pose-transfer pair dataset (deepfashion_inshop.py:64-272)."""
+
+    def __init__(
+        self,
+        folder: str,
+        image_dir: str,
+        pair_file: Sequence[str] | str,
+        data_file: str,
+        df_filter: Optional[str] = None,
+        image_size: Tuple[int, int] = (256, 192),
+        f: int = 8,
+        resize_size: Optional[int] = None,
+        pad: Optional[Sequence[int]] = None,
+        input_mask_type: str = "mask",
+        loss_weight: Optional[Dict[str, float]] = None,
+        image_only: bool = False,
+        dropout: Optional[float] = None,
+        men_factor: Optional[int] = None,
+        shuffle: bool = False,
+        seed: int = 0,
+    ):
+        assert input_mask_type in ("mask", "smpl", "bbox")
+        self.root = Path(folder)
+        self.image_root = self.root / image_dir
+        # 'mask'/'bbox' read 256-res smpl renders; 'smpl' the full-res ones
+        self.pose_root = (
+            self.root / "smpl_256" if input_mask_type in ("mask", "bbox")
+            else self.root / "smpl"
+        )
+        self.style_root = self.root / "styles"
+        self.segm_root = self.root / "segm_256"
+        self.texts = json.load(open(self.root / "captions.json"))
+        self.input_mask_type = input_mask_type
+        self.image_only = image_only
+        self.loss_weight = loss_weight
+        self.dropout = dropout
+        self.shuffle = shuffle
+        self.latent_hw = (image_size[0] // f, image_size[1] // f)
+        self.resize_size = resize_size
+        self.pad = tuple(pad) if pad else None
+        self._rng = _random.Random(seed)
+
+        self.map: Dict[str, Dict[str, str]] = {}
+        for row in _read_csv(data_file):
+            self.map[row["image"]] = row
+
+        files = [pair_file] if isinstance(pair_file, str) else list(pair_file)
+        rows: List[Dict[str, str]] = []
+        for pf in files:
+            rows.extend(_read_csv(str(self.root / pf) if not os.path.exists(pf) else pf))
+        if df_filter:
+            rows = [r for r in rows if str(r.get(df_filter)).lower() == "true"]
+        if men_factor:
+            men = [r for r in rows if r["from"].split("/")[0] == "MEN"]
+            rows = rows + men * men_factor
+        self.rows = rows
+        self.segmenter = DeepfashionMMSegmenter()
+
+    def __len__(self) -> int:
+        return len(self.rows)
+
+    # -- skip_sample semantics (deepfashion_inshop.py:28-39)
+    def _skip(self, index: int):
+        if self.shuffle:
+            return self[self._rng.randint(0, len(self) - 1)]
+        return self[0 if index >= len(self) - 1 else index + 1]
+
+    def _prep_image(self, img: Image.Image) -> np.ndarray:
+        if self.resize_size:
+            from upgpt_tpu.data.transforms import resize_short_side
+            img = resize_short_side(img, self.resize_size)
+        if self.pad:
+            img = pad_image(img, self.pad)
+        return to_tensor_range(img)
+
+    def _load_styles(self, styles_rel: str, drop_style: bool) -> np.ndarray:
+        base = self.style_root / styles_rel
+        out = []
+        for name in STYLE_NAMES:
+            p = base / f"{name}.jpg"
+            if p.exists() and not drop_style:
+                out.append(clip_normalize_image(Image.open(p)))
+            else:
+                out.append(empty_style())
+        return np.stack(out)
+
+    def _load_smpl(self, pose_path: str):
+        with open(pose_path + ".p", "rb") as fh:
+            params = pickle.load(fh)
+        vec = np.concatenate(
+            (
+                np.asarray(params[0]["pred_body_pose"], np.float32).reshape(1, -1),
+                np.asarray(params[0]["pred_betas"], np.float32).reshape(1, -1),
+                np.asarray(params[0]["pred_camera"], np.float32).reshape(1, -1),
+            ),
+            axis=1,
+        )
+        return vec  # (1, 85)
+
+    def _person_mask(self, pose_path: str, smpl_img: Image.Image) -> np.ndarray:
+        if self.input_mask_type == "mask":
+            m = np.asarray(Image.open(pose_path + "_mask.png"))
+            return mask_transform_binary(m, self.latent_hw)
+        if self.input_mask_type == "bbox":
+            m = silhouette_bbox(np.asarray(Image.open(pose_path + "_mask.png")))
+            return mask_transform_binary(m, self.latent_hw)
+        return mask_transform_smpl(smpl_img, self.latent_hw)
+
+    def __getitem__(self, index: int) -> Dict:
+        try:
+            row = self.rows[index]
+            target = self.map[row["to"]]
+            data: Dict = {
+                "image": self._prep_image(Image.open(self.image_root / target["image"])),
+                "txt": self.texts.get(target["text"], ""),
+            }
+            if self.image_only:
+                return data
+
+            source = self.map[row["from"]]
+            styles_rel = source.get("styles") or ""
+            if not styles_rel:
+                return self._skip(index)
+            drop_style = bool(self.dropout) and self._rng.random() < self.dropout
+
+            data.update(
+                fname=get_name(row["from"], row["to"]),
+                src_image=self._prep_image(Image.open(self.image_root / source["image"])),
+                styles=self._load_styles(styles_rel, drop_style),
+            )
+
+            pose_path = str(self.pose_root / target["pose"])
+            smpl_img = center_crop(Image.open(pose_path + ".jpg"), (256, 192))
+            data["person_mask"] = self._person_mask(pose_path, smpl_img)
+            data["smpl_image"] = to_tensor_range(smpl_img)
+            data["smpl"] = self._load_smpl(pose_path)
+
+            if self.loss_weight:
+                segm_path = str(self.segm_root / target["image"]).replace(
+                    ".jpg", "_segm.png"
+                )
+                segm = np.asarray(Image.open(segm_path))
+                lw = self.segmenter.get_mask(segm, self.loss_weight)
+                data["loss_w"] = resize_nearest(lw, self.latent_hw)[..., None]
+            return data
+        except Exception:
+            return self._skip(index)
+
+
+class DeepFashionSample(DeepFashionPair):
+    """Solo (same-image) variant keyed by image id
+    (deepfashion_inshop.py:275-362); powers notebook/app dataset access."""
+
+    def __init__(self, **kwargs):
+        super().__init__(pair_file=kwargs.pop("pair_file", []), **kwargs)
+        self.ids = list(self.map.keys())
+
+    def __len__(self):
+        return len(self.ids)
+
+    def __getitem__(self, index):
+        key = self.ids[index] if isinstance(index, int) else index
+        return self._solo({"from": key, "to": key})
+
+    def _solo(self, row):
+        source = self.map[row["from"]]
+        data = {
+            "image": self._prep_image(Image.open(self.image_root / source["image"])),
+            "txt": self.texts.get(source["text"], ""),
+            "src_image": self._prep_image(Image.open(self.image_root / source["image"])),
+            "styles": self._load_styles(source.get("styles") or "", False),
+        }
+        pose_path = str(self.pose_root / source["pose"])
+        smpl_img = center_crop(Image.open(pose_path + ".jpg"), (256, 192))
+        data["person_mask"] = self._person_mask(pose_path, smpl_img)
+        data["smpl_image"] = to_tensor_range(smpl_img)
+        data["smpl"] = self._load_smpl(pose_path)
+        return data
+
+
+class DeepFashionSuperRes(DeepFashionPair):
+    """Upscale-stage training set: adds the low-res recon conditioning
+    (deepfashion_inshop.py:365-416)."""
+
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        self.lr_root = self.root / "recon_256"
+
+    def _lr(self, img: Image.Image) -> np.ndarray:
+        from upgpt_tpu.data.transforms import resize_bilinear
+
+        rgb = resize_bilinear(img, self.latent_hw)
+        return (rgb * 2.0 - 1.0).astype(np.float32)
+
+    def __getitem__(self, index):
+        try:
+            row = self.rows[index]
+            source = self.map[row["from"]]
+            drop_style = bool(self.dropout) and self._rng.random() < self.dropout
+            lr = self._lr(Image.open(self.lr_root / source["image"]))
+            return {
+                "lr": lr,
+                "person_mask": lr,  # c_concat slot carries the lr image
+                "image": self._prep_image(Image.open(self.image_root / source["image"])),
+                "styles": self._load_styles(source.get("styles") or "", drop_style),
+                "txt": self.texts.get(source["text"], ""),
+            }
+        except Exception:
+            return self._skip(index)
+
+
+class DeepFashionSuperResSampling(DeepFashionSuperRes):
+    """Upscale-stage eval over generated 256 samples in `lr_dir`
+    (deepfashion_inshop.py:419-479): lr gets edge-pad (8,0) then resize."""
+
+    def __init__(self, lr_dir: str, **kwargs):
+        super().__init__(**kwargs)
+        self.lr_root = Path(lr_dir)
+
+    def _lr(self, img: Image.Image) -> np.ndarray:
+        from upgpt_tpu.data.transforms import resize_bilinear
+
+        img = pad_image(img, (8, 0), mode="edge")
+        rgb = resize_bilinear(img, self.latent_hw)
+        return (rgb * 2.0 - 1.0).astype(np.float32)
+
+    def __getitem__(self, index):
+        try:
+            row = self.rows[index]
+            source = self.map[row["from"]]
+            fname = get_name(row["from"], row["to"])
+            lr = self._lr(Image.open(str(self.lr_root / fname) + ".jpg"))
+            return {
+                "fname": fname,
+                "lr": lr,
+                "person_mask": lr,
+                "image": self._prep_image(Image.open(self.image_root / source["image"])),
+                "styles": self._load_styles(source.get("styles") or "", False),
+                "txt": self.texts.get(source["text"], ""),
+            }
+        except Exception:
+            return self._skip(index)
+
+
+def collate(samples: Sequence[Dict]) -> Dict:
+    """Stack numpy sample dicts into a batch dict; strings become lists."""
+    out: Dict = {}
+    for k in samples[0]:
+        vals = [s[k] for s in samples]
+        out[k] = vals if isinstance(vals[0], str) else np.stack(vals)
+    return out
+
+
+class DataLoader:
+    """Minimal shuffling batch loader over an indexable dataset.
+
+    Replaces torch DataLoader + worker seeding (main.py:157-250) with a
+    deterministic numpy permutation per epoch. Prefetch/multiprocessing can
+    be layered on later; DeepFashion decode cost is modest next to a TPU
+    train step.
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            n += 1
+        return n
+
+    def epoch(self, epoch: int = 0):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + epoch)
+            rng.shuffle(idx)
+        for i in range(len(self)):
+            sel = idx[i * self.batch_size : (i + 1) * self.batch_size]
+            yield collate([self.dataset[int(j)] for j in sel])

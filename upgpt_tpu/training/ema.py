@@ -23,7 +23,9 @@ class EmaState(NamedTuple):
 
 def ema_init(params: Any, decay: float = 0.9999) -> EmaState:
     return EmaState(
-        shadow=jax.tree.map(jnp.asarray, params),
+        # deep copy: aliasing the live param buffers would break jit buffer
+        # donation (same buffer donated twice) and silently tie the shadow
+        shadow=jax.tree.map(lambda x: jnp.array(x, copy=True), params),
         num_updates=jnp.zeros((), jnp.int32),
         decay=decay,
     )

@@ -1,0 +1,305 @@
+"""Training driver: the main.py/Lightning-Trainer equivalent, TPU-native.
+
+Covers the reference driver's behavior (main.py:518-801 + callbacks):
+- LR scaling rule lr = accumulate * n_devices * bs * base_lr (main.py:748-767)
+- per-step LambdaLinear multiplier (ddpm.py:1527-1536)
+- EMA updates each optimizer step (ddpm.py:374-376)
+- validation reporting raw + EMA losses (ddpm.py:365-372); the monitored
+  metric `val/loss_simple_ema` drives best-checkpointing and early stopping
+  (bbox.yaml:152-185, patience)
+- checkpoint/resume via orbax (last + best), save-on-exception and
+  SIGUSR1 -> save (main.py:771-796)
+- periodic image logging: short-DDIM sample grids + conditioning images to
+  logdir/images (ImageLogger, main.py:302-450)
+
+Data parallelism: if a Mesh is passed, the batch is sharded on `data` and
+params replicated; jit emits the gradient all-reduce.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import signal
+import time
+from pathlib import Path
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from upgpt_tpu.diffusion.latent_diffusion import LatentDiffusion
+from upgpt_tpu.parallel.mesh import batch_sharding, replicated_sharding, shard_batch
+from upgpt_tpu.training.lr import lambda_linear_schedule
+from upgpt_tpu.training.train_state import (
+    TrainState, create_train_state, eval_step, scaled_learning_rate, train_step,
+)
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    base_learning_rate: float = 2e-6
+    scale_lr: bool = True
+    batch_size: int = 12
+    max_epochs: int = 100
+    max_steps: Optional[int] = None
+    accumulate_grad_batches: int = 1
+    use_ema: bool = True
+    ema_decay: float = 0.9999
+    monitor: str = "loss_simple_ema"
+    early_stop_patience: Optional[int] = 5
+    log_every: int = 50
+    log_images_every: Optional[int] = 1000
+    image_log_ddim_steps: int = 20
+    logdir: str = "logs/run"
+    seed: int = 42
+    warm_up_steps: int = 1
+    scheduler_f_start: float = 1e-6
+
+
+class Trainer:
+    def __init__(
+        self,
+        model: LatentDiffusion,
+        config: TrainerConfig,
+        cond_encoder,
+        mesh=None,
+    ):
+        self.model = model
+        self.config = config
+        self.cond_encoder = cond_encoder
+        self.mesh = mesh
+        self.logdir = Path(config.logdir)
+        (self.logdir / "checkpoints").mkdir(parents=True, exist_ok=True)
+        (self.logdir / "images").mkdir(parents=True, exist_ok=True)
+        self._metrics_log = open(self.logdir / "metrics.jsonl", "a")
+        self._ckpt = None  # orbax checkpointer, lazy
+
+        n_dev = len(jax.devices()) if mesh is None else int(np.prod(mesh.devices.shape))
+        self.learning_rate = scaled_learning_rate(
+            config.base_learning_rate, config.batch_size, n_dev,
+            config.accumulate_grad_batches, config.scale_lr,
+        )
+        self.scheduler = lambda_linear_schedule(
+            [config.warm_up_steps], [1.0], [1.0],
+            [config.scheduler_f_start], [10**13],
+        )
+
+        if mesh is not None:
+            rep = replicated_sharding(mesh)
+            bsh = batch_sharding(mesh)
+            self._train_step = jax.jit(
+                lambda s, f, b, r: train_step(self.model, s, f, b, r),
+                in_shardings=(rep, rep, bsh, rep),
+                donate_argnums=(0,),
+            )
+            self._eval_step = jax.jit(
+                lambda s, f, b, r: eval_step(self.model, s, f, b, r),
+                in_shardings=(rep, rep, bsh, rep),
+            )
+        else:
+            self._train_step = jax.jit(
+                lambda s, f, b, r: train_step(self.model, s, f, b, r),
+                donate_argnums=(0,),
+            )
+            self._eval_step = jax.jit(
+                lambda s, f, b, r: eval_step(self.model, s, f, b, r)
+            )
+
+    # ------------- checkpointing -------------
+
+    def _checkpointer(self):
+        if self._ckpt is None:
+            import orbax.checkpoint as ocp
+
+            self._ckpt = ocp.StandardCheckpointer()
+        return self._ckpt
+
+    @staticmethod
+    def _payload(state: TrainState) -> Dict:
+        payload = {
+            "step": state.step,
+            "params": state.params,
+            "opt_state": state.opt_state,
+        }
+        if state.ema is not None:
+            payload["ema"] = state.ema.shadow
+            payload["ema_updates"] = state.ema.num_updates
+        return payload
+
+    def save_checkpoint(self, state: TrainState, frozen, name: str = "last") -> None:
+        path = (self.logdir / "checkpoints" / name).absolute()
+        ckpt = self._checkpointer()
+        ckpt.save(path, jax.device_get(self._payload(state)), force=True)
+        ckpt.wait_until_finished()  # StandardCheckpointer saves async
+
+    def load_checkpoint(self, state: TrainState, name: str = "last") -> TrainState:
+        """Restore into the live state's pytree structure (optax NamedTuples
+        survive because the reference tree drives the restore)."""
+        path = (self.logdir / "checkpoints" / name).absolute()
+        ref = jax.device_get(self._payload(state))
+        payload = self._checkpointer().restore(path, ref)
+        new = state.replace(
+            step=jnp.asarray(payload["step"]),
+            params=payload["params"],
+            opt_state=payload["opt_state"],
+        )
+        if state.ema is not None and "ema" in payload:
+            new = new.replace(ema=state.ema._replace(
+                shadow=payload["ema"],
+                num_updates=jnp.asarray(payload["ema_updates"]),
+            ))
+        return new
+
+    # ------------- logging -------------
+
+    def _log(self, record: Dict[str, Any]) -> None:
+        import json
+
+        rec = {k: (float(v) if hasattr(v, "item") else v) for k, v in record.items()}
+        self._metrics_log.write(json.dumps(rec) + "\n")
+        self._metrics_log.flush()
+
+    def log_images(self, state: TrainState, frozen, batch: Dict, step: int) -> None:
+        """Short-DDIM EMA sample grid (ImageLogger, main.py:302-450)."""
+        from upgpt_tpu.inference.pipeline import GenerationPipeline
+
+        params = dict(state.ema.shadow if state.ema is not None else state.params)
+        params.update(frozen)
+        pipe = GenerationPipeline(
+            self.model, num_steps=self.config.image_log_ddim_steps, eta=1.0
+        )
+        imgs = pipe.generate(params, batch, jax.random.PRNGKey(step))
+        self._save_grid(np.asarray(imgs), self.logdir / "images" / f"samples_{step:08d}.png")
+        for key in ("src_image", "smpl_image"):
+            if key in batch:
+                self._save_grid(
+                    np.asarray(batch[key]),
+                    self.logdir / "images" / f"{key}_{step:08d}.png",
+                )
+
+    @staticmethod
+    def _save_grid(imgs: np.ndarray, path: Path, nrow: int = 4) -> None:
+        from PIL import Image
+
+        imgs = np.clip((imgs + 1.0) / 2.0, 0, 1)
+        n, h, w, c = imgs.shape
+        rows = int(np.ceil(n / nrow))
+        grid = np.zeros((rows * h, nrow * w, c), np.float32)
+        for i in range(n):
+            r, col = divmod(i, nrow)
+            grid[r * h:(r + 1) * h, col * w:(col + 1) * w] = imgs[i]
+        Image.fromarray((grid * 255).astype(np.uint8)).save(path)
+
+    # ------------- the loop -------------
+
+    def _device_batch(self, raw: Dict) -> Dict:
+        batch = self.cond_encoder.encode_batch(raw)
+        keep = ("image", "person_mask", "text_emb", "style_emb", "smpl", "loss_w")
+        batch = {k: jnp.asarray(v) for k, v in batch.items() if k in keep}
+        if self.mesh is not None:
+            batch = shard_batch(self.mesh, batch)
+        return batch
+
+    def fit(
+        self,
+        train_loader,
+        val_loader=None,
+        params: Optional[Dict] = None,
+        frozen_params: Optional[Dict] = None,
+        resume: bool = False,
+    ) -> TrainState:
+        cfg = self.config
+        key = jax.random.PRNGKey(cfg.seed)
+        if params is None:
+            all_params = self.model.init_params(key)
+            frozen_params = {"vae": all_params.pop("vae")}
+            params = all_params
+        state = create_train_state(
+            params, self.learning_rate, self.scheduler,
+            use_ema=cfg.use_ema and self.model.config.use_ema,
+            ema_decay=cfg.ema_decay,
+            accumulate_grad_batches=cfg.accumulate_grad_batches,
+        )
+        if resume and (self.logdir / "checkpoints" / "last").exists():
+            state = self.load_checkpoint(state)
+            print(f"resumed from step {int(state.step)}")
+
+        if self.mesh is not None:
+            rep = replicated_sharding(self.mesh)
+            state = jax.device_put(state, rep)
+            frozen_params = jax.device_put(frozen_params, rep)
+
+        # SIGUSR1 -> checkpoint (main.py:771-782 'Summoning checkpoint')
+        def _usr1(signum, frame):
+            print("Summoning checkpoint.")
+            self.save_checkpoint(state, frozen_params, "last")
+
+        try:
+            signal.signal(signal.SIGUSR1, _usr1)
+        except ValueError:
+            pass  # not in main thread
+
+        best = np.inf
+        bad_epochs = 0
+        rng = jax.random.PRNGKey(cfg.seed + 1)
+        stop = False
+        # resume semantics: skip epochs already completed (Lightning restores
+        # the epoch counter from the ckpt; we derive it from the step count)
+        start_epoch = int(state.step) // max(len(train_loader), 1)
+        try:
+            for epoch in range(start_epoch, cfg.max_epochs):
+                t_epoch = time.time()
+                for raw in train_loader.epoch(epoch):
+                    batch = self._device_batch(raw)
+                    state, metrics = self._train_step(
+                        state, frozen_params, batch, rng
+                    )
+                    step = int(state.step)
+                    if step % cfg.log_every == 0:
+                        self._log({"step": step, "epoch": epoch,
+                                   "lr": self.learning_rate * float(self.scheduler(step)),
+                                   **{k: v for k, v in metrics.items()}})
+                    if (cfg.log_images_every and val_loader is not None
+                            and step % cfg.log_images_every == 0):
+                        raw_vb = next(val_loader.epoch(epoch))
+                        vb = self.cond_encoder.encode_batch(raw_vb)
+                        vb = {k: jnp.asarray(v) for k, v in vb.items()
+                              if not isinstance(v, list)}
+                        self.log_images(state, frozen_params, vb, step)
+                    if cfg.max_steps and step >= cfg.max_steps:
+                        stop = True
+                        break
+
+                # ---- validation ----
+                if val_loader is not None:
+                    vals: Dict[str, list] = {}
+                    for raw in val_loader.epoch(epoch):
+                        batch = self._device_batch(raw)
+                        out = self._eval_step(state, frozen_params, batch, rng)
+                        for k, v in out.items():
+                            vals.setdefault(k, []).append(float(v))
+                    val_metrics = {f"val/{k}": float(np.mean(v)) for k, v in vals.items()}
+                    self._log({"step": int(state.step), "epoch": epoch,
+                               "epoch_time": time.time() - t_epoch, **val_metrics})
+                    monitored = val_metrics.get(f"val/{cfg.monitor}", np.inf)
+                    if monitored < best:
+                        best = monitored
+                        bad_epochs = 0
+                        self.save_checkpoint(state, frozen_params, "best")
+                    else:
+                        bad_epochs += 1
+                self.save_checkpoint(state, frozen_params, "last")
+                if stop:
+                    break
+                if (cfg.early_stop_patience is not None and val_loader is not None
+                        and bad_epochs > cfg.early_stop_patience):
+                    print(f"early stopping at epoch {epoch} "
+                          f"(no {cfg.monitor} improvement for {bad_epochs} epochs)")
+                    break
+        except BaseException:
+            # save-on-exception (main.py:792-796)
+            self.save_checkpoint(state, frozen_params, "last")
+            raise
+        return state
