@@ -1,0 +1,114 @@
+"""CLI end-to-end: train 1 epoch on a tiny synthetic tree, then test+eval."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import yaml
+
+from upgpt_tpu.cli import main as cli_main
+
+
+@pytest.fixture(scope="module")
+def tiny_tree(tmp_path_factory):
+    """64x48 image tree matching the zoo 'tiny' variant (f=2 -> 32x24)."""
+    import csv
+    import pickle
+
+    root = tmp_path_factory.mktemp("tiny_fashion")
+    for d in ("img_64", "smpl_256", "segm_256"):
+        (root / d).mkdir()
+    rng = np.random.default_rng(0)
+    names = ["MEN/x_1_a.jpg", "WOMEN/y_1_b.jpg"]
+    for i, name in enumerate(names):
+        (root / "img_64" / name).parent.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(rng.integers(0, 255, (64, 48, 3), np.uint8)).save(
+            root / "img_64" / name)
+        Image.fromarray(rng.integers(0, 255, (64, 48, 3), np.uint8)).save(
+            root / "smpl_256" / f"pose{i}.jpg")
+        m = np.zeros((64, 48), np.uint8)
+        m[10:50, 12:36] = 255
+        Image.fromarray(m).save(root / "smpl_256" / f"pose{i}_mask.png")
+        pickle.dump([{
+            "pred_body_pose": rng.normal(size=(1, 72)).astype(np.float32),
+            "pred_betas": rng.normal(size=(1, 10)).astype(np.float32),
+            "pred_camera": rng.normal(size=(3,)).astype(np.float32),
+        }], open(root / "smpl_256" / f"pose{i}.p", "wb"))
+        sd = root / "styles" / f"s{i}"
+        sd.mkdir(parents=True)
+        Image.fromarray(rng.integers(0, 255, (224, 224, 3), np.uint8)).save(
+            sd / "top.jpg")
+    json.dump({"t0": "a", "t1": "b"}, open(root / "captions.json", "w"))
+    with open(root / "map.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["image", "text", "pose", "styles"])
+        w.writeheader()
+        for i, n in enumerate(names):
+            w.writerow({"image": n, "text": f"t{i}", "pose": f"pose{i}",
+                        "styles": f"s{i}"})
+    with open(root / "pairs.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["from", "to"])
+        w.writeheader()
+        w.writerow({"from": names[0], "to": names[1]})
+        w.writerow({"from": names[1], "to": names[0]})
+    return root
+
+
+@pytest.fixture(scope="module")
+def tiny_config_file(tiny_tree, tmp_path_factory):
+    cfg_dir = tmp_path_factory.mktemp("cfg")
+    logdir = str(cfg_dir / "logs")
+    cfg = {
+        "model": {"target": "upgpt_tpu.zoo.build_latent_diffusion",
+                  "params": {"variant": "tiny", "use_flash_attention": False}},
+        "trainer": {"base_learning_rate": 1e-4, "scale_lr": False,
+                    "batch_size": 2, "max_epochs": 1, "log_every": 1,
+                    "log_images_every": None, "logdir": logdir,
+                    "early_stop_patience": None},
+        "data": {
+            "train": {"target": "upgpt_tpu.data.deepfashion.DeepFashionPair",
+                      "params": {"folder": str(tiny_tree), "image_dir": "img_64",
+                                 "pair_file": [str(tiny_tree / "pairs.csv")],
+                                 "data_file": str(tiny_tree / "map.csv"),
+                                 "input_mask_type": "bbox",
+                                 "image_size": [64, 48], "f": 2}},
+            "test": {"target": "upgpt_tpu.data.deepfashion.DeepFashionPair",
+                     "params": {"folder": str(tiny_tree), "image_dir": "img_64",
+                                "pair_file": [str(tiny_tree / "pairs.csv")],
+                                "data_file": str(tiny_tree / "map.csv"),
+                                "input_mask_type": "bbox",
+                                "image_size": [64, 48], "f": 2}},
+        },
+        "sampling": {"ddim_steps": 4, "eta": 0.0},
+    }
+    path = cfg_dir / "tiny.yaml"
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return path, logdir
+
+
+def test_cli_train_then_test(tiny_config_file, capsys):
+    path, logdir = tiny_config_file
+    cli_main(["train", "--base", str(path)])
+    assert os.path.exists(f"{logdir}/checkpoints/last")
+    assert os.path.exists(f"{logdir}/configs/merged.json")
+
+    out_dir = f"{logdir}/results"
+    cli_main(["test", "--base", str(path), "--ckpt", f"{logdir}/checkpoints/last",
+              "--out", out_dir, "--batch", "2", "--steps", "4",
+              "--max-images", "2"])
+    captured = capsys.readouterr().out.strip().split("\n")[-1]
+    metrics = json.loads(captured)
+    assert "ssim" in metrics and metrics["n_images"] == 2
+    assert os.path.exists(f"{out_dir}/metrics.csv")
+
+
+def test_cli_dotlist_override(tiny_config_file):
+    path, _ = tiny_config_file
+    from upgpt_tpu.config import merge_configs
+
+    cfg = merge_configs([str(path)], ["trainer.batch_size=7", "sampling.eta=0.5"])
+    assert cfg["trainer"]["batch_size"] == 7 and cfg["sampling"]["eta"] == 0.5

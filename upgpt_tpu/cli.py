@@ -1,0 +1,237 @@
+"""Command-line driver: train / sample / test / eval / convert.
+
+The main.py equivalent (reference main.py:518-801) re-shaped around the
+functional stack: YAML configs merge left-to-right with key=value dotlist
+overrides, objects build through the `target:`/`params:` registry, and every
+run directory carries its merged config for reproducibility
+(main.py:280-288).
+
+    python -m upgpt_tpu.cli train  --base configs/deepfashion/interp_256.yaml
+    python -m upgpt_tpu.cli sample --base ... --ckpt logs/run/checkpoints/best
+    python -m upgpt_tpu.cli test   --base ... --ckpt ...   # dump + metrics
+    python -m upgpt_tpu.cli eval   --dir logs/run/results
+    python -m upgpt_tpu.cli convert --torch-ckpt model.ckpt --out weights/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from upgpt_tpu.config import instantiate_from_config, merge_configs
+
+
+def _build_cond_encoder(cfg, model):
+    clip_cfg = cfg.get("clip") or {}
+    if clip_cfg.get("text_params") and clip_cfg.get("bpe_path"):
+        import orbax.checkpoint as ocp
+
+        from upgpt_tpu.data.tokenizer import CLIPTokenizer
+        from upgpt_tpu.inference.encoders import CLIPConditioningEncoder
+
+        ckptr = ocp.StandardCheckpointer()
+        return CLIPConditioningEncoder(
+            text_params=ckptr.restore(Path(clip_cfg["text_params"]).absolute()),
+            vision_params=ckptr.restore(Path(clip_cfg["vision_params"]).absolute()),
+            tokenizer=CLIPTokenizer(bpe_path=clip_cfg["bpe_path"]),
+        )
+    print("WARNING: no CLIP weights configured -> DebugConditioningEncoder "
+          "(hash embeddings; NOT output parity)", file=sys.stderr)
+    from upgpt_tpu.inference.encoders import DebugConditioningEncoder
+
+    return DebugConditioningEncoder(context_dim=model.config.context_dim)
+
+
+def _loaders(cfg, batch_size):
+    from upgpt_tpu.data.deepfashion import DataLoader
+
+    data_cfg = cfg.get("data") or {}
+    out = {}
+    for split in ("train", "validation", "test"):
+        if split in data_cfg:
+            ds = instantiate_from_config(data_cfg[split])
+            out[split] = DataLoader(ds, batch_size, shuffle=(split == "train"))
+    return out
+
+
+def cmd_train(cfg, args):
+    import jax
+
+    from upgpt_tpu.parallel.mesh import create_mesh
+    from upgpt_tpu.training.trainer import Trainer, TrainerConfig
+
+    model = instantiate_from_config(cfg["model"])
+    tc = TrainerConfig(**(cfg.get("trainer") or {}))
+    # data-parallel mesh over the largest device count dividing the batch
+    n_dev = len(jax.devices())
+    n_use = max(d for d in range(1, n_dev + 1) if tc.batch_size % d == 0)
+    mesh = (
+        create_mesh((n_use, 1), devices=jax.devices()[:n_use])
+        if n_use > 1 else None
+    )
+    trainer = Trainer(model, tc, _build_cond_encoder(cfg, model), mesh=mesh)
+    (Path(tc.logdir) / "configs").mkdir(parents=True, exist_ok=True)
+    with open(Path(tc.logdir) / "configs" / "merged.json", "w") as f:
+        json.dump(cfg, f, indent=2, default=str)
+    loaders = _loaders(cfg, tc.batch_size)
+    trainer.fit(loaders["train"], loaders.get("validation"), resume=args.resume)
+
+
+def _restore_params(model, ckpt_path):
+    import jax
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    init = model.init_params(jax.random.PRNGKey(0))
+    frozen = {"vae": init.pop("vae")}
+    ref = {"step": np.zeros((), np.int32), "params": init}
+    try:
+        payload = ckptr.restore(Path(ckpt_path).absolute(), ref)
+        params = payload["params"]
+    except BaseException:
+        payload = ckptr.restore(Path(ckpt_path).absolute())
+        params = payload.get("ema") or payload["params"]
+    params = dict(params)
+    params.update(frozen)
+    return params
+
+
+def cmd_sample(cfg, args):
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from upgpt_tpu.inference.pipeline import GenerationPipeline
+
+    model = instantiate_from_config(cfg["model"])
+    params = _restore_params(model, args.ckpt)
+    enc = _build_cond_encoder(cfg, model)
+    samp = cfg.get("sampling") or {}
+    pipe = GenerationPipeline(
+        model,
+        num_steps=args.steps or samp.get("ddim_steps", 200),
+        eta=samp.get("eta", 1.0),
+        guidance_scale=samp.get("guidance_scale", 1.0),
+    )
+    loaders = _loaders(cfg, args.batch)
+    loader = loaders.get("test") or loaders.get("validation") or loaders["train"]
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    raw = next(loader.epoch(0))
+    batch = enc.encode_batch(raw)
+    batch = {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
+    imgs = np.asarray(pipe.generate(params, batch, jax.random.PRNGKey(args.seed)))
+    for i, img in enumerate(imgs):
+        arr = np.clip((img + 1) / 2, 0, 1)
+        Image.fromarray((arr * 255).astype(np.uint8)).save(out_dir / f"sample_{i:03d}.jpg")
+    print(f"wrote {len(imgs)} samples to {out_dir}")
+
+
+def cmd_test(cfg, args):
+    """Batch evaluation: sample all test pairs, dump paired dirs, run metrics
+    (reference test_step ddpm.py:1327-1377 + auto-eval main.py:797-801)."""
+    import jax
+    import jax.numpy as jnp
+
+    from upgpt_tpu.eval.harness import dump_test_results, evaluate_dirs
+    from upgpt_tpu.inference.pipeline import GenerationPipeline
+
+    model = instantiate_from_config(cfg["model"])
+    params = _restore_params(model, args.ckpt)
+    enc = _build_cond_encoder(cfg, model)
+    samp = cfg.get("sampling") or {}
+    pipe = GenerationPipeline(
+        model, num_steps=args.steps or samp.get("ddim_steps", 200),
+        eta=samp.get("eta", 1.0),
+    )
+    loaders = _loaders(cfg, args.batch)
+    loader = loaders.get("test") or loaders["validation"]
+    results = Path(args.out)
+    n = 0
+    for raw in loader.epoch(0):
+        batch = enc.encode_batch(raw)
+        dev = {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
+        imgs = np.asarray(pipe.generate(params, dev, jax.random.PRNGKey(n)))
+        fnames = raw.get("fname", [f"img{n + i}" for i in range(len(imgs))])
+        dump_test_results(str(results), fnames, imgs, gt=np.asarray(raw["image"]))
+        n += len(imgs)
+        if args.max_images and n >= args.max_images:
+            break
+    metrics = evaluate_dirs(str(results))
+    print(json.dumps(metrics))
+
+
+def cmd_eval(cfg, args):
+    from upgpt_tpu.eval.harness import evaluate_dirs
+
+    print(json.dumps(evaluate_dirs(args.dir)))
+
+
+def cmd_convert(cfg, args):
+    import orbax.checkpoint as ocp
+
+    from upgpt_tpu.convert.torch_to_jax import (
+        convert_linear_project_state_dict, convert_unet_state_dict,
+        convert_vae_state_dict, split_ldm_checkpoint,
+    )
+    from upgpt_tpu.models.unet import UNetConfig
+    from upgpt_tpu.models.vae import AutoencoderConfig
+
+    buckets = split_ldm_checkpoint(args.torch_ckpt)
+    variant = args.variant
+    unet_cfg = (UNetConfig.upscale_512() if variant == "upscale"
+                else UNetConfig.interp_256())
+    vae_cfg = (AutoencoderConfig.kl_f4() if variant == "upscale"
+               else AutoencoderConfig.kl_f8())
+    out = {}
+    if "unet" in buckets:
+        out["unet"] = convert_unet_state_dict(buckets["unet"], unet_cfg)
+    if "vae" in buckets:
+        out["vae"] = convert_vae_state_dict(buckets["vae"], vae_cfg)
+    for k in buckets:
+        if k.startswith("extra_cond") and any(
+            "weight" in kk for kk in buckets[k]
+        ):
+            sd = buckets[k]
+            if "model.weight" in sd and sd["model.weight"].shape == (768, 85):
+                out["pose"] = convert_linear_project_state_dict(sd)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(Path(args.out).absolute(), out, force=True)
+    ckptr.wait_until_finished()
+    print(f"converted {sorted(out)} -> {args.out}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("upgpt_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name in ("train", "sample", "test", "eval", "convert"):
+        sp = sub.add_parser(name)
+        sp.add_argument("--base", nargs="*", default=[])
+        sp.add_argument("overrides", nargs="*", help="key=value dotlist")
+        if name == "train":
+            sp.add_argument("--resume", action="store_true")
+        if name in ("sample", "test"):
+            sp.add_argument("--ckpt", required=True)
+            sp.add_argument("--out", default="results")
+            sp.add_argument("--steps", type=int, default=None)
+            sp.add_argument("--batch", type=int, default=8)
+            sp.add_argument("--seed", type=int, default=0)
+            sp.add_argument("--max-images", type=int, default=None)
+        if name == "eval":
+            sp.add_argument("--dir", required=True)
+        if name == "convert":
+            sp.add_argument("--torch-ckpt", required=True)
+            sp.add_argument("--out", required=True)
+            sp.add_argument("--variant", default="interp_256")
+    args = p.parse_args(argv)
+    cfg = merge_configs(args.base, args.overrides) if args.base else {}
+    {"train": cmd_train, "sample": cmd_sample, "test": cmd_test,
+     "eval": cmd_eval, "convert": cmd_convert}[args.cmd](cfg, args)
+
+
+if __name__ == "__main__":
+    main()
