@@ -54,6 +54,7 @@ class UNetConfig:
     conv_resample: bool = True
     use_checkpoint: bool = False
     use_flash_attention: bool = True
+    use_fused_groupnorm: bool = False
     dtype: Dtype = jnp.float32
 
     @classmethod
@@ -73,16 +74,33 @@ class UNetConfig:
 
 
 class GroupNorm32(nn.Module):
-    """GroupNorm(32) with fp32 statistics (reference util.py:214-216)."""
+    """GroupNorm(32) with fp32 statistics (reference util.py:214-216).
+
+    `with_silu` fuses the following SiLU; `fused=True` additionally routes
+    qualifying shapes through the Pallas one-pass kernel (ops/fused_gn.py).
+    """
 
     channels: int
     eps: float = 1e-5
+    with_silu: bool = False
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x):
         scale = self.param("scale", nn.initializers.ones, (self.channels,))
         bias = self.param("bias", nn.initializers.zeros, (self.channels,))
-        return group_norm(x, scale, bias, num_groups=32, eps=self.eps)
+        if self.fused:
+            from upgpt_tpu.ops.fused_gn import (
+                fused_group_norm, fused_group_norm_qualifies,
+            )
+
+            if fused_group_norm_qualifies(x.shape, 32):
+                return fused_group_norm(
+                    x, scale, bias, num_groups=32, eps=self.eps,
+                    with_silu=self.with_silu,
+                )
+        out = group_norm(x, scale, bias, num_groups=32, eps=self.eps)
+        return silu(out) if self.with_silu else out
 
 
 def conv3x3(features: int, dtype, zero_init: bool = False, name: str | None = None,
@@ -104,17 +122,18 @@ class ResBlock(nn.Module):
     out_channels: int
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
+    fused_gn: bool = False
 
     @nn.compact
     def __call__(self, x, emb, *, deterministic: bool = True):
         in_ch = x.shape[-1]
-        h = GroupNorm32(in_ch, name="norm_in")(x)
-        h = silu(h)
+        h = GroupNorm32(in_ch, with_silu=True, fused=self.fused_gn,
+                        name="norm_in")(x)
         h = conv3x3(self.out_channels, self.dtype, name="conv_in")(h)
         emb_out = nn.Dense(self.out_channels, dtype=self.dtype, name="emb_proj")(silu(emb))
         h = h + emb_out[:, None, None, :].astype(h.dtype)
-        h = GroupNorm32(self.out_channels, name="norm_out")(h)
-        h = silu(h)
+        h = GroupNorm32(self.out_channels, with_silu=True, fused=self.fused_gn,
+                        name="norm_out")(h)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = conv3x3(self.out_channels, self.dtype, zero_init=True, name="conv_out")(h)
@@ -296,7 +315,8 @@ class UNetModel(nn.Module):
             for i in range(cfg.num_res_blocks):
                 ch = mult * cfg.model_channels
                 h = res_block(
-                    ch, cfg.dropout, comp, name=f"down_{level}_{i}_res"
+                    ch, cfg.dropout, comp, cfg.use_fused_groupnorm,
+                    name=f"down_{level}_{i}_res",
                 )(h, emb, deterministic=deterministic)
                 if ds in cfg.attention_resolutions:
                     h = attn_layer(ch, ds, name=f"down_{level}_{i}_attn")(h, context)
@@ -306,13 +326,11 @@ class UNetModel(nn.Module):
                 hs.append(h)
                 ds *= 2
         # --- middle ---
-        h = res_block(ch, cfg.dropout, comp, name="mid_res1")(
-            h, emb, deterministic=deterministic
-        )
+        h = res_block(ch, cfg.dropout, comp, cfg.use_fused_groupnorm,
+                      name="mid_res1")(h, emb, deterministic=deterministic)
         h = attn_layer(ch, ds, name="mid_attn")(h, context)
-        h = res_block(ch, cfg.dropout, comp, name="mid_res2")(
-            h, emb, deterministic=deterministic
-        )
+        h = res_block(ch, cfg.dropout, comp, cfg.use_fused_groupnorm,
+                      name="mid_res2")(h, emb, deterministic=deterministic)
         # --- decoder ---
         for level, mult in reversed(list(enumerate(cfg.channel_mult))):
             for i in range(cfg.num_res_blocks + 1):
@@ -320,7 +338,8 @@ class UNetModel(nn.Module):
                 h = jnp.concatenate([h, skip], axis=-1)
                 ch = cfg.model_channels * mult
                 h = res_block(
-                    ch, cfg.dropout, comp, name=f"up_{level}_{i}_res"
+                    ch, cfg.dropout, comp, cfg.use_fused_groupnorm,
+                    name=f"up_{level}_{i}_res",
                 )(h, emb, deterministic=deterministic)
                 if ds in cfg.attention_resolutions:
                     h = attn_layer(ch, ds, name=f"up_{level}_{i}_attn")(h, context)
@@ -329,7 +348,7 @@ class UNetModel(nn.Module):
                     ds //= 2
         assert not hs
         # --- out head ---
-        h = GroupNorm32(ch, name="out_norm")(h)
-        h = silu(h)
+        h = GroupNorm32(ch, with_silu=True, fused=cfg.use_fused_groupnorm,
+                        name="out_norm")(h)
         h = conv3x3(cfg.out_channels, comp, zero_init=True, name="out_conv")(h)
         return h.astype(jnp.float32)
