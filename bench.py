@@ -45,11 +45,18 @@ def main() -> None:
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     cfg = LatentDiffusionConfig.interp_256(
-        unet=UNetConfig.interp_256(dtype=dtype),
-        vae=AutoencoderConfig.kl_f8(dtype=dtype),
+        unet=UNetConfig.interp_256(dtype=dtype),  # flash attention on by default
+        vae=AutoencoderConfig.kl_f8(dtype=dtype, use_flash_attention=on_tpu),
     )
     model = LatentDiffusion(cfg)
-    params = model.init_params(jax.random.PRNGKey(0))
+    # init under jit (eager init is thousands of tunnel round-trips on axon)
+    params = jax.jit(model.init_params)(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    if on_tpu:
+        from upgpt_tpu.utils.diagnostics import cast_floating
+
+        # serve in bf16: halves weight HBM traffic per U-Net step
+        params = cast_floating(params, jnp.bfloat16)
     pipe = GenerationPipeline(model, num_steps=steps, eta=1.0)
 
     rng = np.random.default_rng(0)

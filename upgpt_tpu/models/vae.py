@@ -48,6 +48,7 @@ class AutoencoderConfig:
     out_ch: int = 3
     resolution: int = 256
     dropout: float = 0.0
+    use_flash_attention: bool = False
     dtype: Dtype = jnp.float32
 
     @classmethod
@@ -106,6 +107,7 @@ class AttnBlock(nn.Module):
 
     channels: int
     dtype: Dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -114,7 +116,7 @@ class AttnBlock(nn.Module):
         q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(h).reshape(b, hh * ww, c)
         k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(h).reshape(b, hh * ww, c)
         v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(h).reshape(b, hh * ww, c)
-        out = multi_head_attention(q, k, v, num_heads=1)
+        out = multi_head_attention(q, k, v, num_heads=1, use_flash=self.use_flash)
         out = out.reshape(b, hh, ww, c)
         out = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(out)
         return x + out
@@ -164,7 +166,7 @@ class Encoder(nn.Module):
                     block_out, cfg.dropout, comp, name=f"down_{i_level}_block_{i_block}"
                 )(h, deterministic=deterministic)
                 if curr_res in cfg.attn_resolutions:
-                    h = AttnBlock(block_out, comp, name=f"down_{i_level}_attn_{i_block}")(h)
+                    h = AttnBlock(block_out, comp, cfg.use_flash_attention, name=f"down_{i_level}_attn_{i_block}")(h)
             if i_level != num_res - 1:
                 h = Downsample(block_out, comp, name=f"down_{i_level}_downsample")(h)
                 curr_res //= 2
@@ -172,7 +174,7 @@ class Encoder(nn.Module):
         h = ResnetBlock(ch_mid, cfg.dropout, comp, name="mid_block_1")(
             h, deterministic=deterministic
         )
-        h = AttnBlock(ch_mid, comp, name="mid_attn_1")(h)
+        h = AttnBlock(ch_mid, comp, cfg.use_flash_attention, name="mid_attn_1")(h)
         h = ResnetBlock(ch_mid, cfg.dropout, comp, name="mid_block_2")(
             h, deterministic=deterministic
         )
@@ -200,7 +202,7 @@ class Decoder(nn.Module):
         h = ResnetBlock(block_in, cfg.dropout, comp, name="mid_block_1")(
             h, deterministic=deterministic
         )
-        h = AttnBlock(block_in, comp, name="mid_attn_1")(h)
+        h = AttnBlock(block_in, comp, cfg.use_flash_attention, name="mid_attn_1")(h)
         h = ResnetBlock(block_in, cfg.dropout, comp, name="mid_block_2")(
             h, deterministic=deterministic
         )
@@ -212,7 +214,7 @@ class Decoder(nn.Module):
                     block_out, cfg.dropout, comp, name=f"up_{i_level}_block_{i_block}"
                 )(h, deterministic=deterministic)
                 if curr_res in cfg.attn_resolutions:
-                    h = AttnBlock(block_out, comp, name=f"up_{i_level}_attn_{i_block}")(h)
+                    h = AttnBlock(block_out, comp, cfg.use_flash_attention, name=f"up_{i_level}_attn_{i_block}")(h)
             if i_level != 0:
                 h = Upsample(block_out, comp, name=f"up_{i_level}_upsample")(h)
                 curr_res *= 2

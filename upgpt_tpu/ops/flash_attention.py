@@ -33,14 +33,21 @@ _MAX_RESIDENT_T = 4096  # K/V stay VMEM-resident; beyond this, fall back to XLA.
 
 
 def flash_attention_qualifies(b: int, h: int, tq: int, tk: int, d: int, dtype) -> bool:
-    """True when the Pallas path is both legal and profitable."""
+    """True when the Pallas path is both legal and profitable.
+
+    Profiling on v5e showed XLA's materialized fp32 score tensors dominate
+    the U-Net step already at T=768 (the 256px models' ds=1 grid): the
+    softmax+score HBM round-trips cost ~5.5 ms of a 10.5 ms forward. The
+    kernel pays off from T>=512; shorter sequences (48-192 latent tokens,
+    87-163 context tokens) stay on XLA.
+    """
     if dtype not in (jnp.bfloat16, jnp.float32):
         return False
-    if tq != tk or tq < 1024 or tk > _MAX_RESIDENT_T:
+    if tq != tk or tq < 512 or tk > _MAX_RESIDENT_T:
         return False
     if tq % 256 != 0:
         return False
-    return d <= 256
+    return d <= 512
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):

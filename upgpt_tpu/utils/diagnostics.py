@@ -91,3 +91,17 @@ def count_params(tree: Any, verbose: bool = False) -> int:
     if verbose:
         print(f"{n * 1e-6:.2f} M parameters")
     return n
+
+
+def cast_floating(tree: Any, dtype) -> Any:
+    """Cast floating leaves of a param pytree (e.g. fp32 -> bf16 for serving).
+
+    Halves HBM weight traffic per step; integer/bool leaves untouched.
+    """
+    def _cast(x):
+        x = jnp.asarray(x)
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree.map(_cast, tree)
