@@ -122,3 +122,23 @@ def test_stochastic_encode_matches_closed_form():
     for b, ti in enumerate([10, 30]):
         want = np.sqrt(a_fwd[ti]) * 1.0 + np.sqrt(1 - a_fwd[ti]) * 0.5
         np.testing.assert_allclose(np.asarray(got[b]), want, rtol=1e-5)
+
+
+def test_img2img_strength_limits():
+    from upgpt_tpu.diffusion.ddim import ddim_img2img
+
+    schedule = DiffusionSchedule.create(1000, linear_start=0.00085, linear_end=0.0120)
+    ddim = make_ddim_schedule(schedule, 10, eta=0.0)
+    x0 = jnp.ones((1, 4, 4, 3)) * 0.3
+
+    def eps_model(x, t, cond):
+        return jnp.zeros_like(x)
+
+    # low strength: few noising steps, zero-eps denoise ~ rescaled x0
+    out = ddim_img2img(eps_model, schedule, ddim, x0, {}, jax.random.PRNGKey(0),
+                       strength=0.1)
+    assert out.shape == x0.shape and np.isfinite(np.asarray(out)).all()
+    # strength 1.0 runs the full table
+    out_full = ddim_img2img(eps_model, schedule, ddim, x0, {}, jax.random.PRNGKey(0),
+                            strength=1.0)
+    assert np.isfinite(np.asarray(out_full)).all()

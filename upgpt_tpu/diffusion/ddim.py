@@ -117,6 +117,45 @@ def ddim_sample(
     return img
 
 
+def ddim_img2img(
+    eps_model: EpsModel,
+    schedule: DiffusionSchedule,
+    ddim: DDIMSchedule,
+    x0: jax.Array,
+    cond: Dict[str, Any],
+    key: jax.Array,
+    *,
+    strength: float = 0.75,
+    guidance_scale: float = 1.0,
+    uncond: Optional[Dict[str, Any]] = None,
+) -> jax.Array:
+    """img2img: encode x0 to t = strength*num_steps, then denoise back.
+
+    The reference pairs stochastic_encode with DDIMSampler.decode
+    (ddim.py:206-241); here the partial reverse pass is the same scan over a
+    table suffix (static `strength` -> one compiled program per setting).
+    """
+    import dataclasses as _dc
+
+    t_enc = max(1, min(int(strength * ddim.num_steps), ddim.num_steps))
+    key, k_enc = jax.random.split(key)
+    x_t = ddim_stochastic_encode(
+        schedule, ddim, x0, jnp.full((x0.shape[0],), t_enc - 1, jnp.int32), k_enc
+    )
+    start = ddim.num_steps - t_enc  # reverse-ordered tables: run the suffix
+    sub = DDIMSchedule(
+        timesteps=ddim.timesteps[start:],
+        alphas=ddim.alphas[start:],
+        alphas_prev=ddim.alphas_prev[start:],
+        sqrt_one_minus_alphas=ddim.sqrt_one_minus_alphas[start:],
+        sigmas=ddim.sigmas[start:],
+    )
+    return ddim_sample(
+        eps_model, schedule, sub, x0.shape, cond, key, x_T=x_t,
+        guidance_scale=guidance_scale, uncond=uncond,
+    )
+
+
 def ddim_stochastic_encode(
     schedule: DiffusionSchedule,
     ddim: DDIMSchedule,

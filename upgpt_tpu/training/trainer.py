@@ -75,6 +75,14 @@ class Trainer:
         (self.logdir / "images").mkdir(parents=True, exist_ok=True)
         self._metrics_log = open(self.logdir / "metrics.jsonl", "a")
         self._ckpt = None  # orbax checkpointer, lazy
+        # optional TensorBoard event stream (the TestTube logger equivalent,
+        # main.py:615-639); degrades to jsonl-only if tensorboard is absent
+        try:
+            from flax.metrics.tensorboard import SummaryWriter
+
+            self._tb = SummaryWriter(str(self.logdir / "tb"))
+        except Exception:
+            self._tb = None
 
         n_dev = len(jax.devices()) if mesh is None else int(np.prod(mesh.devices.shape))
         self.learning_rate = scaled_learning_rate(
@@ -160,6 +168,10 @@ class Trainer:
         rec = {k: (float(v) if hasattr(v, "item") else v) for k, v in record.items()}
         self._metrics_log.write(json.dumps(rec) + "\n")
         self._metrics_log.flush()
+        if self._tb is not None and "step" in rec:
+            for k, v in rec.items():
+                if isinstance(v, float) and k not in ("step", "epoch"):
+                    self._tb.scalar(k, v, rec["step"])
 
     def log_images(self, state: TrainState, frozen, batch: Dict, step: int) -> None:
         """Short-DDIM EMA sample grid (ImageLogger, main.py:302-450)."""
