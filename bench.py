@@ -51,7 +51,7 @@ def main() -> None:
     from upgpt_tpu.models.unet import UNetConfig
     from upgpt_tpu.models.vae import AutoencoderConfig
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     steps = 50
 
     dev = jax.devices()[0]
