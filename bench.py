@@ -60,7 +60,7 @@ def main() -> None:
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     cfg = LatentDiffusionConfig.interp_256(
-        unet=UNetConfig.interp_256(dtype=dtype),  # flash attention on by default
+        unet=UNetConfig.interp_256(dtype=dtype, use_fused_groupnorm=on_tpu),
         vae=AutoencoderConfig.kl_f8(dtype=dtype, use_flash_attention=on_tpu),
     )
     model = LatentDiffusion(cfg)
