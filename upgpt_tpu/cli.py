@@ -78,7 +78,14 @@ def cmd_train(cfg, args):
     with open(Path(tc.logdir) / "configs" / "merged.json", "w") as f:
         json.dump(cfg, f, indent=2, default=str)
     loaders = _loaders(cfg, tc.batch_size)
-    trainer.fit(loaders["train"], loaders.get("validation"), resume=args.resume)
+    params = frozen = None
+    if getattr(args, "finetune_from", None):
+        # --finetune_from: weights only, fresh optimizer (main.py:597-609)
+        all_params = _restore_params(model, args.finetune_from)
+        frozen = {"vae": all_params.pop("vae")}
+        params = all_params
+    trainer.fit(loaders["train"], loaders.get("validation"),
+                params=params, frozen_params=frozen, resume=args.resume)
 
 
 def _restore_params(model, ckpt_path):
@@ -214,6 +221,8 @@ def main(argv=None):
         sp.add_argument("overrides", nargs="*", help="key=value dotlist")
         if name == "train":
             sp.add_argument("--resume", action="store_true")
+            sp.add_argument("--finetune-from", default=None,
+                            help="checkpoint to load weights from (fresh opt state)")
         if name in ("sample", "test"):
             sp.add_argument("--ckpt", required=True)
             sp.add_argument("--out", default="results")

@@ -257,6 +257,13 @@ class Trainer:
         bad_epochs = 0
         rng = jax.random.PRNGKey(cfg.seed + 1)
         stop = False
+        # sanity val: one batch before training (num_sanity_val_steps=1,
+        # reference bbox.yaml:189) -- catches shape/encoding bugs up front
+        if val_loader is not None and int(state.step) == 0:
+            sb = self._device_batch(next(val_loader.epoch(0)))
+            sanity = self._eval_step(state, frozen_params, sb, rng)
+            self._log({"step": 0, "sanity": 1,
+                       **{f"val/{k}": v for k, v in sanity.items()}})
         # resume semantics: skip epochs already completed (Lightning restores
         # the epoch counter from the ckpt; we derive it from the step count)
         start_epoch = int(state.step) // max(len(train_loader), 1)
