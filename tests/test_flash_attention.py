@@ -65,3 +65,27 @@ def test_flash_bf16():
                       vf)
     np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want),
                                atol=0.05, rtol=0.05)
+
+
+def test_flash_gradients_match_reference():
+    """custom_vjp backward == gradients of the naive formulation."""
+    rng = np.random.default_rng(3)
+    b, h, t, d = 1, 2, 512, 32
+    q = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+
+    from upgpt_tpu.ops.flash_attention import _reference_attention
+
+    def loss_flash(q, k, v):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(flash_attention(q, k, v) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_reference_attention(q, k, v) ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, bg in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bg),
+                                   atol=1e-4, rtol=1e-3)

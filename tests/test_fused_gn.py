@@ -54,3 +54,23 @@ def test_qualifier():
     # 256px VAE decoder tensors exceed the VMEM budget
     assert not fused_group_norm_qualifies((8, 256, 192, 128), 32)
     assert not fused_group_norm_qualifies((8, 8, 8, 100), 32)
+
+
+def test_fused_gn_gradients_match_reference():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, 64)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+
+    def loss_fused(x, s, b):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(fused_group_norm(x, s, b, 32, 1e-5, True) ** 2)
+
+    def loss_ref(x, s, b):
+        return jnp.sum(silu(group_norm(x, s, b, num_groups=32, eps=1e-5)) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, scale, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-4, rtol=1e-3)

@@ -67,13 +67,43 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q",))
-def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, block_q: int = 256) -> jax.Array:
+@jax.custom_vjp
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     """Attention over (B, H, T, D) tensors; returns (B, H, T, D).
 
     Scale is 1/sqrt(D_logical) applied to fp32 scores inside the kernel
     (same math as the reference's two conventions; see ops/attention.py).
+
+    Differentiable: the forward runs the Pallas kernel; the backward
+    recomputes attention with the XLA formulation and differentiates that
+    (numerically identical math — a fused Pallas backward is future work).
     """
+    return _flash_forward(q, k, v)
+
+
+def _reference_attention(q, k, v):
+    d = q.shape[-1]
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * (1.0 / math.sqrt(d))
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
+
+
+def _flash_fwd_rule(q, k, v):
+    return _flash_forward(q, k, v), (q, k, v)
+
+
+def _flash_bwd_rule(res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(_reference_attention, q, k, v)
+    return vjp(g)
+
+
+def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array,
+                   block_q: int = 256) -> jax.Array:
     b, h, t, d = q.shape
     scale = 1.0 / math.sqrt(d)
     # No host-side lane padding: Mosaic pads d inside VMEM. Measured on v5e
@@ -102,3 +132,6 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, block_q: int = 256
         ),
     )(qf, kf, vf)
     return out.reshape(b, h, t, d)
+
+
+flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)

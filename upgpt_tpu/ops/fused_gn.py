@@ -66,7 +66,7 @@ def fused_group_norm_qualifies(shape, num_groups: int) -> bool:
     return h * w * c * 4 * 3 <= _VMEM_BUDGET_BYTES
 
 
-@functools.partial(jax.jit, static_argnames=("num_groups", "eps", "with_silu"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_group_norm(
     x: jax.Array,
     scale: jax.Array,
@@ -75,7 +75,43 @@ def fused_group_norm(
     eps: float = 1e-5,
     with_silu: bool = False,
 ) -> jax.Array:
-    """GroupNorm(+SiLU) over NHWC via the Pallas kernel."""
+    """GroupNorm(+SiLU) over NHWC via the Pallas kernel.
+
+    Differentiable: Pallas forward, backward via the jnp formulation
+    (identical math; a fused Pallas backward is future work)."""
+    return _fused_gn_forward(x, scale, bias, num_groups, eps, with_silu)
+
+
+def _reference_gn(x, scale, bias, num_groups, eps, with_silu):
+    from upgpt_tpu.ops.basic import group_norm, silu
+
+    out = group_norm(x, scale, bias, num_groups=num_groups, eps=eps)
+    return silu(out) if with_silu else out
+
+
+def _fused_gn_fwd(x, scale, bias, num_groups, eps, with_silu):
+    return _fused_gn_forward(x, scale, bias, num_groups, eps, with_silu), (
+        x, scale, bias,
+    )
+
+
+def _fused_gn_bwd(num_groups, eps, with_silu, res, g):
+    x, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda x_, s_, b_: _reference_gn(x_, s_, b_, num_groups, eps, with_silu),
+        x, scale, bias,
+    )
+    return vjp(g)
+
+
+def _fused_gn_forward(
+    x: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    num_groups: int = 32,
+    eps: float = 1e-5,
+    with_silu: bool = False,
+) -> jax.Array:
     n, h, w, c = x.shape
     hw = h * w
     m = jnp.asarray(_group_matrix(c, num_groups))
@@ -102,3 +138,6 @@ def fused_group_norm(
     )(xr, m, scale.reshape(1, c).astype(jnp.float32),
       bias.reshape(1, c).astype(jnp.float32))
     return out.reshape(n, h, w, c)
+
+
+fused_group_norm.defvjp(_fused_gn_fwd, _fused_gn_bwd)
