@@ -112,3 +112,27 @@ def test_cli_dotlist_override(tiny_config_file):
 
     cfg = merge_configs([str(path)], ["trainer.batch_size=7", "sampling.eta=0.5"])
     assert cfg["trainer"]["batch_size"] == 7 and cfg["sampling"]["eta"] == 0.5
+
+
+def test_cli_train_vae(tiny_tree, tmp_path):
+    cfg = {
+        "model": {"target": "upgpt_tpu.zoo.build_autoencoder",
+                  "params": {"kind": "kl_f8", "ch": 32, "ch_mult": [1, 2],
+                             "num_res_blocks": 1, "resolution": 64}},
+        "loss": {"disc_start": 0, "disc_weight": 0.5},
+        "trainer": {"base_learning_rate": 1e-4, "scale_lr": False,
+                    "batch_size": 2, "max_epochs": 1, "max_steps": 1,
+                    "log_every": 1, "logdir": str(tmp_path / "vae")},
+        "data": {"train": {
+            "target": "upgpt_tpu.data.deepfashion.DeepFashionPair",
+            "params": {"folder": str(tiny_tree), "image_dir": "img_64",
+                       "pair_file": [str(tiny_tree / "pairs.csv")],
+                       "data_file": str(tiny_tree / "map.csv"),
+                       "input_mask_type": "bbox", "image_size": [64, 48],
+                       "f": 2, "image_only": True}}},
+    }
+    path = tmp_path / "vae.yaml"
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    cli_main(["train-vae", "--base", str(path)])
+    assert os.path.exists(str(tmp_path / "vae" / "last"))

@@ -172,6 +172,66 @@ def cmd_test(cfg, args):
     print(json.dumps(metrics))
 
 
+def cmd_train_vae(cfg, args):
+    """First-stage VAE training (reference: main.py with an autoencoder
+    config; loss = contperceptual.LPIPSWithDiscriminator)."""
+    import jax
+    import jax.numpy as jnp
+
+    from upgpt_tpu.training.train_state import scaled_learning_rate
+    from upgpt_tpu.training.vae_loss import LPIPSWithDiscriminator, VAELossConfig
+    from upgpt_tpu.training.vae_trainer import make_vae_optimizers, vae_train_step
+
+    vae = instantiate_from_config(cfg["model"])
+    tc = cfg.get("trainer") or {}
+    loss_cfg = VAELossConfig(**(cfg.get("loss") or {}))
+    loss_mod = LPIPSWithDiscriminator(loss_cfg)  # lpips_fn pluggable w/ weights
+
+    key = jax.random.PRNGKey(tc.get("seed", 42))
+    loaders = _loaders(cfg, tc.get("batch_size", 12))
+    train_loader = loaders["train"]
+    sample = next(train_loader.epoch(0))
+    img_hw = sample["image"].shape[1:3]
+
+    params = vae.init(key, jnp.asarray(sample["image"]), key)["params"]
+    loss_params = loss_mod.init_params(jax.random.PRNGKey(1), image_hw=img_hw)
+    lr = scaled_learning_rate(
+        tc.get("base_learning_rate", 4.5e-6), tc.get("batch_size", 12),
+        len(jax.devices()), scale_lr=tc.get("scale_lr", True),
+    )
+    opts = make_vae_optimizers(lr)
+    opt_states = (opts[0].init(params), opts[1].init(loss_params["disc"]))
+
+    step_fn = jax.jit(
+        lambda p, lp, os, b, k, s: vae_train_step(vae, loss_mod, p, lp, opts, os, b, k, s)
+    )
+    logdir = Path(tc.get("logdir", "logs/vae"))
+    logdir.mkdir(parents=True, exist_ok=True)
+    step = 0
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    for epoch in range(tc.get("max_epochs", 100)):
+        for raw in train_loader.epoch(epoch):
+            batch = jnp.asarray(raw["image"])
+            key, k = jax.random.split(key)
+            params, loss_params, opt_states, logs = step_fn(
+                params, loss_params, opt_states, batch, k, step
+            )
+            step += 1
+            if step % tc.get("log_every", 50) == 0:
+                print(json.dumps({"step": step,
+                                  **{kk: float(v) for kk, v in logs.items()
+                                     if hasattr(v, "item")}}))
+        ckptr.save((logdir / "last").absolute(),
+                   jax.device_get({"params": params, "loss": loss_params}),
+                   force=True)
+        ckptr.wait_until_finished()
+        if tc.get("max_steps") and step >= tc["max_steps"]:
+            break
+    print(f"done at step {step}; checkpoints in {logdir}")
+
+
 def cmd_eval(cfg, args):
     from upgpt_tpu.eval.harness import evaluate_dirs
 
@@ -215,7 +275,7 @@ def cmd_convert(cfg, args):
 def main(argv=None):
     p = argparse.ArgumentParser("upgpt_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name in ("train", "sample", "test", "eval", "convert"):
+    for name in ("train", "train-vae", "sample", "test", "eval", "convert"):
         sp = sub.add_parser(name)
         sp.add_argument("--base", nargs="*", default=[])
         sp.add_argument("overrides", nargs="*", help="key=value dotlist")
@@ -238,8 +298,9 @@ def main(argv=None):
             sp.add_argument("--variant", default="interp_256")
     args = p.parse_args(argv)
     cfg = merge_configs(args.base, args.overrides) if args.base else {}
-    {"train": cmd_train, "sample": cmd_sample, "test": cmd_test,
-     "eval": cmd_eval, "convert": cmd_convert}[args.cmd](cfg, args)
+    {"train": cmd_train, "train-vae": cmd_train_vae, "sample": cmd_sample,
+     "test": cmd_test, "eval": cmd_eval,
+     "convert": cmd_convert}[args.cmd](cfg, args)
 
 
 if __name__ == "__main__":
