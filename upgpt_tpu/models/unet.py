@@ -55,6 +55,7 @@ class UNetConfig:
     use_checkpoint: bool = False
     use_flash_attention: bool = True
     use_fused_groupnorm: bool = False
+    use_fused_resblock: bool = False
     dtype: Dtype = jnp.float32
 
     @classmethod
@@ -112,34 +113,103 @@ def conv3x3(features: int, dtype, zero_init: bool = False, name: str | None = No
     )
 
 
+class _GNParams(nn.Module):
+    """Param holder matching GroupNorm32's tree layout ({scale, bias})."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.channels,)),
+            self.param("bias", nn.initializers.zeros, (self.channels,)),
+        )
+
+
+class _ConvParams(nn.Module):
+    """Param holder matching nn.Conv's tree layout ({kernel, bias})."""
+
+    in_channels: int
+    out_channels: int
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self):
+        init = (nn.initializers.zeros_init() if self.zero_init
+                else nn.initializers.lecun_normal())
+        return (
+            self.param("kernel", init, (3, 3, self.in_channels, self.out_channels)),
+            self.param("bias", nn.initializers.zeros, (self.out_channels,)),
+        )
+
+
 class ResBlock(nn.Module):
     """GN->SiLU->conv, FiLM-add timestep emb, GN->SiLU->zero-conv, residual.
 
     Reference openaimodel.py:163-275 (use_scale_shift_norm=False path — the
     UPGPT configs never enable FiLM scale/shift, only the additive form).
+
+    `fused` levels: 0 = plain XLA, 1 = Pallas fused GN+SiLU, 2 = Pallas fused
+    GN+SiLU+conv3x3 half-steps (ops/fused_resblock.py). Param tree layout is
+    identical across levels, so converted checkpoints work with any of them.
     """
 
     out_channels: int
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
-    fused_gn: bool = False
+    fused: int = 0
 
     @nn.compact
     def __call__(self, x, emb, *, deterministic: bool = True):
         in_ch = x.shape[-1]
-        h = GroupNorm32(in_ch, with_silu=True, fused=self.fused_gn,
-                        name="norm_in")(x)
-        h = conv3x3(self.out_channels, self.dtype, name="conv_in")(h)
+        gs_in, gb_in = _GNParams(in_ch, name="norm_in")()
+        k_in, kb_in = _ConvParams(in_ch, self.out_channels, name="conv_in")()
+        gs_out, gb_out = _GNParams(self.out_channels, name="norm_out")()
+        k_out, kb_out = _ConvParams(
+            self.out_channels, self.out_channels, zero_init=True, name="conv_out"
+        )()
+
+        from upgpt_tpu.ops.fused_resblock import (
+            fused_gn_silu_conv, fused_resblock_qualifies,
+        )
+
+        def half_step(inp, gs, gb, kern, kb, dropout_ok):
+            use_full_fuse = (
+                self.fused >= 2
+                and (self.dropout == 0.0 or not dropout_ok or deterministic)
+                and fused_resblock_qualifies(inp.shape, kern.shape[-1])
+            )
+            if use_full_fuse:
+                return fused_gn_silu_conv(inp, gs, gb, kern, kb, 32, 1e-5)
+            out = group_norm(inp, gs, gb, num_groups=32, eps=1e-5)
+            if self.fused == 1:
+                from upgpt_tpu.ops.fused_gn import (
+                    fused_group_norm, fused_group_norm_qualifies,
+                )
+                if fused_group_norm_qualifies(inp.shape, 32):
+                    out = fused_group_norm(inp, gs, gb, 32, 1e-5, True)
+                else:
+                    out = silu(out)
+            else:
+                out = silu(out)
+            if dropout_ok and self.dropout > 0.0:
+                out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
+            dn = jax.lax.conv_dimension_numbers(
+                out.shape, kern.shape, ("NHWC", "HWIO", "NHWC")
+            )
+            conv = jax.lax.conv_general_dilated(
+                out.astype(self.dtype), kern.astype(self.dtype), (1, 1),
+                ((1, 1), (1, 1)), dimension_numbers=dn,
+            )
+            return conv + kb.astype(conv.dtype)
+
+        h = half_step(x, gs_in, gb_in, k_in, kb_in, dropout_ok=False)
         emb_out = nn.Dense(self.out_channels, dtype=self.dtype, name="emb_proj")(silu(emb))
         h = h + emb_out[:, None, None, :].astype(h.dtype)
-        h = GroupNorm32(self.out_channels, with_silu=True, fused=self.fused_gn,
-                        name="norm_out")(h)
-        if self.dropout > 0.0:
-            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = conv3x3(self.out_channels, self.dtype, zero_init=True, name="conv_out")(h)
+        h = half_step(h, gs_out, gb_out, k_out, kb_out, dropout_ok=True)
         if in_ch != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="skip")(x)
-        return x + h
+        return x + h.astype(x.dtype)
 
 
 class CrossAttention(nn.Module):
@@ -298,6 +368,8 @@ class UNetModel(nn.Module):
         if cfg.use_checkpoint:
             res_block = nn.remat(ResBlock, static_argnums=())
             transformer = nn.remat(SpatialTransformer, static_argnums=())
+        fused_level = 2 if cfg.use_fused_resblock else (
+            1 if cfg.use_fused_groupnorm else 0)
 
         def attn_layer(ch: int, ds: int, name: str):
             head_dim = ch // cfg.num_heads
@@ -315,7 +387,7 @@ class UNetModel(nn.Module):
             for i in range(cfg.num_res_blocks):
                 ch = mult * cfg.model_channels
                 h = res_block(
-                    ch, cfg.dropout, comp, cfg.use_fused_groupnorm,
+                    ch, cfg.dropout, comp, fused_level,
                     name=f"down_{level}_{i}_res",
                 )(h, emb, deterministic=deterministic)
                 if ds in cfg.attention_resolutions:
@@ -326,10 +398,10 @@ class UNetModel(nn.Module):
                 hs.append(h)
                 ds *= 2
         # --- middle ---
-        h = res_block(ch, cfg.dropout, comp, cfg.use_fused_groupnorm,
+        h = res_block(ch, cfg.dropout, comp, fused_level,
                       name="mid_res1")(h, emb, deterministic=deterministic)
         h = attn_layer(ch, ds, name="mid_attn")(h, context)
-        h = res_block(ch, cfg.dropout, comp, cfg.use_fused_groupnorm,
+        h = res_block(ch, cfg.dropout, comp, fused_level,
                       name="mid_res2")(h, emb, deterministic=deterministic)
         # --- decoder ---
         for level, mult in reversed(list(enumerate(cfg.channel_mult))):
@@ -338,7 +410,7 @@ class UNetModel(nn.Module):
                 h = jnp.concatenate([h, skip], axis=-1)
                 ch = cfg.model_channels * mult
                 h = res_block(
-                    ch, cfg.dropout, comp, cfg.use_fused_groupnorm,
+                    ch, cfg.dropout, comp, fused_level,
                     name=f"up_{level}_{i}_res",
                 )(h, emb, deterministic=deterministic)
                 if ds in cfg.attention_resolutions:
