@@ -19,7 +19,7 @@ imported lazily so the framework itself has no torch dependency.
 
 from __future__ import annotations
 
-from typing import Dict, Mapping, Tuple
+from typing import Dict, Mapping
 
 import numpy as np
 

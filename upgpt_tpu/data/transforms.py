@@ -14,7 +14,7 @@ All outputs are HWC float32 numpy (TPU-native layout):
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 from PIL import Image

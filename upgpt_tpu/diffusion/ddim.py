@@ -27,7 +27,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from upgpt_tpu.diffusion.schedule import DDIMSchedule, DiffusionSchedule, make_ddim_schedule
+from upgpt_tpu.diffusion.schedule import DDIMSchedule, DiffusionSchedule
 
 # eps-model signature: (x, t, cond) -> eps
 EpsModel = Callable[[jax.Array, jax.Array, Dict[str, Any]], jax.Array]
@@ -137,8 +137,6 @@ def ddim_img2img(
     (ddim.py:206-241); here the partial reverse pass is the same scan over a
     table suffix (static `strength` -> one compiled program per setting).
     """
-    import dataclasses as _dc
-
     t_enc = max(1, min(int(strength * ddim.num_steps), ddim.num_steps))
     key, k_enc = jax.random.split(key)
     x_t = ddim_stochastic_encode(

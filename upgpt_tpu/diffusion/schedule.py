@@ -15,7 +15,6 @@ Quirks deliberately preserved (the released checkpoints were trained on them):
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import numpy as np
 

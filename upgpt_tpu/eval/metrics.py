@@ -20,7 +20,6 @@ lives in upgpt_tpu.eval.harness.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ clearly NOT parity, and it says so loudly.
 from __future__ import annotations
 
 import hashlib
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -24,8 +24,6 @@ Quirks preserved on purpose:
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax

@@ -27,7 +27,7 @@ lowers to `flax.linen.remat` over transformer blocks and resblocks.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

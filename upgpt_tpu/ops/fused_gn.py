@@ -20,7 +20,6 @@ budget (the 256px-image VAE tensors) or on non-TPU backends.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,8 +19,6 @@ NCCL-allreduce equivalent with zero backend code.
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax

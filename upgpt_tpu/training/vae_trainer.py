@@ -14,8 +14,7 @@ stop-gradiented, all inside ONE jitted step per optimizer.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,8 +16,6 @@ YAML configs under configs/ instantiate through these builders via the
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
-
 import jax.numpy as jnp
 
 from upgpt_tpu.diffusion.latent_diffusion import (
