@@ -101,7 +101,14 @@ def _restore_params(model, ckpt_path):
         params = payload["params"]
     except BaseException:
         payload = ckptr.restore(Path(ckpt_path).absolute())
-        params = payload.get("ema") or payload["params"]
+        if "unet" in payload:
+            # `cli convert` layout: submodel trees at the top level
+            params = {k: v for k, v in payload.items()
+                      if k in ("unet", "pose", "vae")}
+            frozen = {"vae": payload.get("vae") or frozen["vae"]}
+        else:
+            # trainer layout, prefer EMA weights for eval (ema_scope)
+            params = payload.get("ema") or payload["params"]
     params = dict(params)
     params.update(frozen)
     return params
@@ -250,10 +257,22 @@ def cmd_convert(cfg, args):
 
     buckets = split_ldm_checkpoint(args.torch_ckpt)
     variant = args.variant
-    unet_cfg = (UNetConfig.upscale_512() if variant == "upscale"
-                else UNetConfig.interp_256())
-    vae_cfg = (AutoencoderConfig.kl_f4() if variant == "upscale"
-               else AutoencoderConfig.kl_f8())
+    if variant == "upscale":
+        unet_cfg = UNetConfig.upscale_512()
+        vae_cfg = AutoencoderConfig.kl_f4()
+    elif variant == "tiny":  # CI geometry (zoo 'tiny')
+        unet_cfg = UNetConfig(
+            in_channels=5, model_channels=32, out_channels=4, num_res_blocks=1,
+            attention_resolutions=(1, 2), channel_mult=(1, 2), num_heads=4,
+            context_dim=768,
+        )
+        vae_cfg = AutoencoderConfig(
+            embed_dim=4, z_channels=4, ch=32, ch_mult=(1, 2), num_res_blocks=1,
+            resolution=64,
+        )
+    else:
+        unet_cfg = UNetConfig.interp_256()
+        vae_cfg = AutoencoderConfig.kl_f8()
     out = {}
     if "unet" in buckets:
         out["unet"] = convert_unet_state_dict(buckets["unet"], unet_cfg)
