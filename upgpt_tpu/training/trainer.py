@@ -190,6 +190,18 @@ class Trainer:
                     np.asarray(batch[key]),
                     self.logdir / "images" / f"{key}_{step:08d}.png",
                 )
+        if "styles" in batch:
+            # denormalized per-slot style strips (save_styles, main.py:355-388)
+            from upgpt_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+
+            styles = np.asarray(batch["styles"])  # (B, 9, 224, 224, 3)
+            strip = styles.transpose(0, 2, 1, 3, 4).reshape(
+                styles.shape[0], styles.shape[2], -1, 3
+            )
+            strip = np.clip(strip * CLIP_STD + CLIP_MEAN, 0, 1) * 2.0 - 1.0
+            self._save_grid(
+                strip, self.logdir / "images" / f"styles_{step:08d}.png", nrow=1
+            )
 
     @staticmethod
     def _save_grid(imgs: np.ndarray, path: Path, nrow: int = 4) -> None:
