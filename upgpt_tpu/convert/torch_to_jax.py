@@ -78,11 +78,20 @@ def _cross_attention(sd: StateDict, p: str) -> Dict[str, Array]:
     }
 
 
+def _conv1x1_as_dense(sd: StateDict, prefix: str) -> Dict[str, Array]:
+    """torch 1x1 Conv2d (O, I, 1, 1) -> Dense kernel (I, O)."""
+    w = _np(sd[f"{prefix}.weight"])
+    out = {"kernel": np.ascontiguousarray(w[:, :, 0, 0].T)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
 def _spatial_transformer(sd: StateDict, p: str, depth: int) -> Dict[str, Array]:
     out = {
         "norm": _norm(sd, f"{p}.norm"),
-        "proj_in": _conv(sd, f"{p}.proj_in"),
-        "proj_out": _conv(sd, f"{p}.proj_out"),
+        "proj_in": _conv1x1_as_dense(sd, f"{p}.proj_in"),
+        "proj_out": _conv1x1_as_dense(sd, f"{p}.proj_out"),
     }
     for d in range(depth):
         bp = f"{p}.transformer_blocks.{d}"

@@ -303,19 +303,21 @@ class SpatialTransformer(nn.Module):
         inner = self.num_heads * self.head_dim
         res = x
         x = GroupNorm32(c, eps=1e-6, name="norm")(x)
-        x = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(x)
-        x = x.reshape(b, h * w, inner)
+        # the reference's 1x1 convs (attention.py:233-248) are Dense layers on
+        # the token view here — identical math, but the whole transformer
+        # stays in (B, T, C) with no NHWC<->token layout churn per block
+        x = x.reshape(b, h * w, c)
+        x = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x)
         for i in range(self.depth):
             x = BasicTransformerBlock(
                 inner, self.num_heads, self.head_dim, self.dtype,
                 use_flash=self.use_flash, name=f"block_{i}",
             )(x, context=context)
-        x = x.reshape(b, h, w, inner)
-        x = nn.Conv(
-            c, (1, 1), kernel_init=nn.initializers.zeros_init(),
+        x = nn.Dense(
+            c, kernel_init=nn.initializers.zeros_init(),
             dtype=self.dtype, name="proj_out",
         )(x)
-        return x + res
+        return x.reshape(b, h, w, c) + res
 
 
 class Downsample(nn.Module):
