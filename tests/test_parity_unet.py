@@ -116,3 +116,39 @@ def test_unet_interp256_geometry():
     n_torch = sum(p.numel() for p in net.parameters())
     n_jax = sum(int(np.prod(a.shape)) for a in jax.tree.leaves(params))
     assert n_torch == n_jax
+
+
+def test_unet_upscale_geometry():
+    """Released upscale geometry converts: ch_mult [1,2,2,4], attn ds [2,4,8]
+    (models/upgpt/upscale/config.yaml:37-59). Guards the round-1 regression
+    where upscale_512 carried interp_256's [1,2,4,4]."""
+    add_reference_to_path()
+    from ldm.modules.diffusionmodules.openaimodel import UNetModel as TorchUNet
+
+    torch.manual_seed(2)
+    net = TorchUNet(
+        image_size=32, in_channels=6, model_channels=256, out_channels=3,
+        num_res_blocks=2, attention_resolutions=[2, 4, 8],
+        channel_mult=[1, 2, 2, 4], num_heads=8, use_spatial_transformer=True,
+        transformer_depth=1, context_dim=768, use_checkpoint=False,
+        legacy=False,
+    )
+    cfg = UNetConfig.upscale_512(use_flash_attention=False)
+    assert cfg.channel_mult == (1, 2, 2, 4)
+    params = convert_unet_state_dict(net.state_dict(), cfg)
+    n_torch = sum(p.numel() for p in net.parameters())
+    n_jax = sum(int(np.prod(a.shape)) for a in jax.tree.leaves(params))
+    assert n_torch == n_jax
+
+
+def test_upscale_noise_schedule():
+    """Upscale stage trains/samples with linear_start=1e-4, linear_end=2e-2
+    (models/upgpt/upscale/config.yaml:5-6), not the interp_256 defaults."""
+    from upgpt_tpu.diffusion.latent_diffusion import LatentDiffusionConfig
+    from upgpt_tpu import zoo
+
+    cfg = LatentDiffusionConfig.upscale_512()
+    assert (cfg.linear_start, cfg.linear_end) == (1e-4, 2e-2)
+    zcfg = zoo.build_latent_diffusion("upscale").config
+    assert (zcfg.linear_start, zcfg.linear_end) == (1e-4, 2e-2)
+    assert zcfg.unet.channel_mult == (1, 2, 2, 4)

@@ -73,6 +73,9 @@ class LatentDiffusionConfig:
         base = cls(
             unet=UNetConfig.upscale_512(),
             vae=AutoencoderConfig.kl_f4(),
+            # upscale/config.yaml:5-6 trains on the SD-default schedule
+            linear_start=1e-4,
+            linear_end=2e-2,
             latent_size=(128, 96),
             latent_channels=3,
             pose_input_dim=None,

@@ -69,7 +69,8 @@ class UNetConfig:
             model_channels=256,
             out_channels=3,
             attention_resolutions=(8, 4, 2),
-            channel_mult=(1, 2, 4, 4),
+            # models/upgpt/upscale/config.yaml:48-53: [1, 2, 2, 4]
+            channel_mult=(1, 2, 2, 4),
         )
         return dataclasses.replace(base, **overrides)
 

@@ -87,11 +87,12 @@ def _upscale(comp, ckpt, flash) -> LatentDiffusionConfig:
         unet=UNetConfig(
             in_channels=6, model_channels=256, out_channels=3,
             num_res_blocks=2, attention_resolutions=(8, 4, 2),
-            channel_mult=(1, 2, 4, 4), num_heads=8, transformer_depth=1,
+            channel_mult=(1, 2, 2, 4), num_heads=8, transformer_depth=1,
             context_dim=768, use_checkpoint=ckpt, use_flash_attention=flash,
             dtype=comp,
         ),
         vae=AutoencoderConfig.kl_f4(dtype=comp, resolution=512),
+        linear_start=1e-4, linear_end=2e-2,
         latent_size=(128, 96), latent_channels=3,
         pose_input_dim=None, use_ema=False,
     )
