@@ -77,6 +77,45 @@ def test_fit_two_epochs_checkpoint_resume(tmp_path, loaders):
     assert int(state2.step) == 3 * len(train)
 
 
+def test_checkpoint_carries_frozen_vae(tmp_path, loaders):
+    """The frozen first stage must travel with the checkpoint: a resumed run
+    and `cli._restore_params` must see the SAME VAE the run trained against,
+    never a fresh random init (round-1 advisor finding)."""
+    train, val = loaders
+    model = LatentDiffusion(tiny_config())
+    enc = DebugConditioningEncoder(context_dim=64, text_len=7)
+    cfg = TrainerConfig(
+        base_learning_rate=1e-4, scale_lr=False, batch_size=2, max_epochs=1,
+        log_every=1, log_images_every=None, logdir=str(tmp_path / "run"),
+        early_stop_patience=None, warm_up_steps=1,
+    )
+    trainer = Trainer(model, cfg, enc)
+    all_params = model.init_params(jax.random.PRNGKey(7))
+    frozen = {"vae": all_params.pop("vae")}
+    # host snapshots: fit's train step donates the state buffers
+    frozen_np = jax.device_get(frozen)
+    params_np = jax.device_get(all_params)
+    trainer.fit(train, val, params=all_params, frozen_params=frozen)
+
+    # the stored frozen VAE round-trips bit-exact through load_checkpoint
+    from upgpt_tpu.training.train_state import create_train_state
+
+    state = create_train_state(params_np, 1e-4, use_ema=True)
+    _, restored = trainer.load_checkpoint(state, None)
+    want = jax.tree.leaves(frozen_np["vae"])
+    got = jax.tree.leaves(restored["vae"])
+    assert all(np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(want, got))
+
+    # _restore_params (cli sample/test path) picks the same VAE up
+    from upgpt_tpu.cli import _restore_params
+
+    params = _restore_params(model, str(tmp_path / "run" / "checkpoints" / "last"))
+    got2 = jax.tree.leaves(params["vae"])
+    assert all(np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(want, got2))
+
+
 def test_lr_scaling_rule():
     from upgpt_tpu.training.train_state import scaled_learning_rate
 

@@ -125,7 +125,7 @@ class Trainer:
         return self._ckpt
 
     @staticmethod
-    def _payload(state: TrainState) -> Dict:
+    def _payload(state: TrainState, frozen=None) -> Dict:
         payload = {
             "step": state.step,
             "params": state.params,
@@ -134,20 +134,42 @@ class Trainer:
         if state.ema is not None:
             payload["ema"] = state.ema.shadow
             payload["ema_updates"] = state.ema.num_updates
+        if frozen is not None:
+            # frozen first stage (VAE) travels with the checkpoint so a
+            # resumed/evaluated run never falls back to a random VAE
+            # (reference keeps it inside the Lightning state_dict too)
+            payload["frozen"] = frozen
         return payload
 
     def save_checkpoint(self, state: TrainState, frozen, name: str = "last") -> None:
         path = (self.logdir / "checkpoints" / name).absolute()
         ckpt = self._checkpointer()
-        ckpt.save(path, jax.device_get(self._payload(state)), force=True)
+        ckpt.save(
+            path, jax.device_get(self._payload(state, frozen)), force=True
+        )
         ckpt.wait_until_finished()  # StandardCheckpointer saves async
 
-    def load_checkpoint(self, state: TrainState, name: str = "last") -> TrainState:
+    def load_checkpoint(self, state: TrainState, frozen=None, name: str = "last"):
         """Restore into the live state's pytree structure (optax NamedTuples
-        survive because the reference tree drives the restore)."""
+        survive because the reference tree drives the restore).
+
+        Returns (state, frozen): `frozen` is the checkpoint's stored first
+        stage when present, else the caller's (pre-payload checkpoints).
+        """
         path = (self.logdir / "checkpoints" / name).absolute()
-        ref = jax.device_get(self._payload(state))
-        payload = self._checkpointer().restore(path, ref)
+        ref = jax.device_get(self._payload(state, frozen))
+        if frozen is None:
+            # shapes-only ref for the stored first stage (no compute)
+            shapes = jax.eval_shape(
+                lambda: self.model.init_params(jax.random.PRNGKey(0))
+            )
+            ref["frozen"] = {"vae": shapes["vae"]}
+        try:
+            payload = self._checkpointer().restore(path, ref)
+        except BaseException:
+            # checkpoint predates the frozen-VAE payload
+            ref.pop("frozen", None)
+            payload = self._checkpointer().restore(path, ref)
         new = state.replace(
             step=jnp.asarray(payload["step"]),
             params=payload["params"],
@@ -158,7 +180,7 @@ class Trainer:
                 shadow=payload["ema"],
                 num_updates=jnp.asarray(payload["ema_updates"]),
             ))
-        return new
+        return new, payload.get("frozen", frozen)
 
     # ------------- logging -------------
 
@@ -236,9 +258,13 @@ class Trainer:
     ) -> TrainState:
         cfg = self.config
         key = jax.random.PRNGKey(cfg.seed)
+        frozen_is_real = frozen_params is not None
         if params is None:
             all_params = self.model.init_params(key)
-            frozen_params = {"vae": all_params.pop("vae")}
+            if frozen_params is None:
+                frozen_params = {"vae": all_params.pop("vae")}
+            else:
+                all_params.pop("vae", None)
             params = all_params
         state = create_train_state(
             params, self.learning_rate, self.scheduler,
@@ -247,7 +273,17 @@ class Trainer:
             accumulate_grad_batches=cfg.accumulate_grad_batches,
         )
         if resume and (self.logdir / "checkpoints" / "last").exists():
-            state = self.load_checkpoint(state)
+            state, restored = self.load_checkpoint(state, frozen_params)
+            if restored is not frozen_params and restored is not None:
+                frozen_params = restored
+                frozen_is_real = True
+            elif not frozen_is_real:
+                raise RuntimeError(
+                    "resume: checkpoint has no frozen first-stage (VAE) "
+                    "payload and none was passed — refusing to resume "
+                    "against a randomly initialized VAE. Pass frozen_params "
+                    "(e.g. via --finetune-from or converted VAE weights)."
+                )
             print(f"resumed from step {int(state.step)}")
 
         if self.mesh is not None:
