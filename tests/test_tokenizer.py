@@ -50,3 +50,17 @@ def test_decode_roundtrip():
 def test_missing_vocab_file_raises():
     with pytest.raises(FileNotFoundError):
         CLIPTokenizer(bpe_path="/nonexistent/vocab.gz")
+
+
+def test_underscore_is_punctuation_not_dropped():
+    """CLIP's pattern treats '_' as punctuation ([^\\s\\p{L}\\p{N}]+), but
+    stdlib \\w includes it — the naive [^\\s\\w]+ class silently dropped
+    underscores (round-1 advisor finding)."""
+    tok = _tok()
+    with_us = tok.encode("hello_world")
+    without = tok.encode("helloworld")
+    assert with_us != without
+    # '_' splits the word like any punctuation would: same pieces as spaces
+    # except the underscore token itself sits between them
+    spaced = tok.encode("hello world")
+    assert [i for i in with_us if tok.decoder[i] not in ("_", "_</w>")] == spaced

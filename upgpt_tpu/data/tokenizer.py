@@ -55,8 +55,10 @@ _TOKEN_RE = re.compile(
     r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
     re.IGNORECASE,
 ) if hasattr(re, "UNICODE") and False else re.compile(
-    # stdlib re has no \p classes; equivalent with unicode word chars
-    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[^\W\d_]+|\d|[^\s\w]+""",
+    # stdlib re has no \p classes; equivalent with unicode word chars.
+    # '_' is punctuation to CLIP ([^\s\p{L}\p{N}]+ matches it) but a word
+    # char to \w, so the punctuation class must re-include it explicitly.
+    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[^\W\d_]+|\d|(?:[^\s\w]|_)+""",
     re.IGNORECASE | re.UNICODE,
 )
 

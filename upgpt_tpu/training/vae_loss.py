@@ -77,6 +77,9 @@ class VAELossConfig:
     disc_weight: float = 0.5
     disc_loss: str = "hinge"
     logvar_init: float = 0.0
+    # reference default learn_logvar=False (contperceptual.py:15): logvar is
+    # a fixed scalar (0.0), excluded from the generator optimizer
+    learn_logvar: bool = False
 
 
 class LPIPSWithDiscriminator:

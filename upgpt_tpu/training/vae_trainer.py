@@ -102,7 +102,12 @@ def generator_step(
     )(params_vae, loss_params["logvar"])
     updates, opt_state = opt.update(grads_p, opt_state, params_vae)
     params_vae = optax.apply_updates(params_vae, updates)
-    new_logvar = loss_params["logvar"] - 1e-4 * grad_logvar  # scalar SGD
+    if loss_mod.config.learn_logvar:
+        new_logvar = loss_params["logvar"] - 1e-4 * grad_logvar  # scalar SGD
+    else:
+        # reference default: logvar fixed at logvar_init, never optimized
+        # (learn_logvar=False keeps it out of opt_ae, contperceptual.py:15-19)
+        new_logvar = loss_params["logvar"]
     return params_vae, opt_state, new_logvar, log
 
 
