@@ -27,6 +27,8 @@ def main():
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--out", default="sample.jpg")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--debug-encoder", action="store_true",
+                   help="hash-embedding conditioning (no CLIP weights)")
     args = p.parse_args()
 
     import jax
@@ -41,7 +43,7 @@ def main():
     cfg = merge_configs(args.base)
     model = instantiate_from_config(cfg["model"])
     params = _restore_params(model, args.ckpt)
-    enc = _build_cond_encoder(cfg, model)
+    enc = _build_cond_encoder(cfg, model, allow_debug=args.debug_encoder)
 
     ds = DeepFashionPair(
         folder=args.folder, image_dir=args.image_dir,

@@ -23,6 +23,8 @@ def main():
     p.add_argument("--pose-of", required=True)
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--out", default="upscaled.jpg")
+    p.add_argument("--debug-encoder", action="store_true",
+                   help="hash-embedding conditioning (no CLIP weights)")
     args = p.parse_args()
 
     import jax
@@ -40,7 +42,7 @@ def main():
     m512 = instantiate_from_config(cfg512["model"])
     p256 = _restore_params(m256, args.ckpt_256)
     p512 = _restore_params(m512, args.ckpt_512)
-    enc = _build_cond_encoder(cfg256, m256)
+    enc = _build_cond_encoder(cfg256, m256, allow_debug=args.debug_encoder)
 
     ds = DeepFashionPair(
         folder=args.folder, image_dir="img_256", pair_file=[],

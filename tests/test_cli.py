@@ -92,18 +92,25 @@ def tiny_config_file(tiny_tree, tmp_path_factory):
 
 def test_cli_train_then_test(tiny_config_file, capsys):
     path, logdir = tiny_config_file
-    cli_main(["train", "--base", str(path)])
+    cli_main(["train", "--debug-encoder", "--base", str(path)])
     assert os.path.exists(f"{logdir}/checkpoints/last")
     assert os.path.exists(f"{logdir}/configs/merged.json")
 
     out_dir = f"{logdir}/results"
-    cli_main(["test", "--base", str(path), "--ckpt", f"{logdir}/checkpoints/last",
+    cli_main(["test", "--debug-encoder", "--base", str(path), "--ckpt", f"{logdir}/checkpoints/last",
               "--out", out_dir, "--batch", "2", "--steps", "4",
               "--max-images", "2"])
     captured = capsys.readouterr().out.strip().split("\n")[-1]
     metrics = json.loads(captured)
     assert "ssim" in metrics and metrics["n_images"] == 2
     assert os.path.exists(f"{out_dir}/metrics.csv")
+    # full test_step dump protocol (reference ddpm.py:1327-1377): all groups
+    for group in ("samples", "gt", "recon", "src", "smpl", "concats", "styles"):
+        files = os.listdir(f"{out_dir}/{group}")
+        assert len(files) == 2, (group, files)
+    # lpips column omitted when no weights are supplied
+    header = open(f"{out_dir}/metrics.csv").readline()
+    assert "lpips" not in header
 
 
 def test_cli_dotlist_override(tiny_config_file):

@@ -243,7 +243,7 @@ def main(argv=None):
 
         params = model.init_params(jax.random.PRNGKey(0))
         mode = "(RANDOM WEIGHTS — demo plumbing only)"
-    encoder = _build_cond_encoder(cfg, model)
+    encoder = _build_cond_encoder(cfg, model, allow_debug=True)
     state = DemoState(model, params, encoder, args.pose_dir)
 
     server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(state, mode))

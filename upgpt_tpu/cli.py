@@ -25,7 +25,7 @@ import numpy as np
 from upgpt_tpu.config import instantiate_from_config, merge_configs
 
 
-def _build_cond_encoder(cfg, model):
+def _build_cond_encoder(cfg, model, allow_debug=False):
     clip_cfg = cfg.get("clip") or {}
     if clip_cfg.get("text_params") and clip_cfg.get("bpe_path"):
         import orbax.checkpoint as ocp
@@ -39,7 +39,14 @@ def _build_cond_encoder(cfg, model):
             vision_params=ckptr.restore(Path(clip_cfg["vision_params"]).absolute()),
             tokenizer=CLIPTokenizer(bpe_path=clip_cfg["bpe_path"]),
         )
-    print("WARNING: no CLIP weights configured -> DebugConditioningEncoder "
+    if not allow_debug:
+        raise SystemExit(
+            "no CLIP weights configured (clip.text_params / clip.bpe_path). "
+            "Training/sampling with hash embeddings produces garbage; pass "
+            "--debug-encoder to proceed deliberately, or convert CLIP "
+            "weights first (cli convert)."
+        )
+    print("WARNING: --debug-encoder -> DebugConditioningEncoder "
           "(hash embeddings; NOT output parity)", file=sys.stderr)
     from upgpt_tpu.inference.encoders import DebugConditioningEncoder
 
@@ -66,14 +73,24 @@ def cmd_train(cfg, args):
 
     model = instantiate_from_config(cfg["model"])
     tc = TrainerConfig(**(cfg.get("trainer") or {}))
-    # data-parallel mesh over the largest device count dividing the batch
+    # data-parallel mesh over ALL devices (reference DDP uses every requested
+    # GPU, main.py:581); round the global batch up to a multiple of the
+    # device count rather than silently idling chips
     n_dev = len(jax.devices())
-    n_use = max(d for d in range(1, n_dev + 1) if tc.batch_size % d == 0)
-    mesh = (
-        create_mesh((n_use, 1), devices=jax.devices()[:n_use])
-        if n_use > 1 else None
+    if tc.batch_size % n_dev:
+        import dataclasses as _dc
+        import math
+
+        new_bs = math.ceil(tc.batch_size / n_dev) * n_dev
+        print(f"batch_size {tc.batch_size} -> {new_bs} "
+              f"(global batch must divide over all {n_dev} devices)",
+              file=sys.stderr)
+        tc = _dc.replace(tc, batch_size=new_bs)
+    mesh = create_mesh((n_dev, 1)) if n_dev > 1 else None
+    enc = _build_cond_encoder(
+        cfg, model, allow_debug=getattr(args, "debug_encoder", False)
     )
-    trainer = Trainer(model, tc, _build_cond_encoder(cfg, model), mesh=mesh)
+    trainer = Trainer(model, tc, enc, mesh=mesh)
     (Path(tc.logdir) / "configs").mkdir(parents=True, exist_ok=True)
     with open(Path(tc.logdir) / "configs" / "merged.json", "w") as f:
         json.dump(cfg, f, indent=2, default=str)
@@ -88,29 +105,37 @@ def cmd_train(cfg, args):
                 params=params, frozen_params=frozen, resume=args.resume)
 
 
-def _restore_params(model, ckpt_path):
-    import jax
+def _restore_params(model, ckpt_path, require_vae=True):
+    """Restore full inference params (denoiser + pose + VAE) from either a
+    `cli convert` layout (submodel trees) or a trainer checkpoint (which
+    carries the frozen VAE in its `frozen` payload; EMA preferred for eval,
+    reference ema_scope ddpm.py:179-192)."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    init = model.init_params(jax.random.PRNGKey(0))
-    frozen = {"vae": init.pop("vae")}
-    ref = {"step": np.zeros((), np.int32), "params": init}
-    try:
-        payload = ckptr.restore(Path(ckpt_path).absolute(), ref)
-        params = payload["params"]
-    except BaseException:
-        payload = ckptr.restore(Path(ckpt_path).absolute())
-        if "unet" in payload:
-            # `cli convert` layout: submodel trees at the top level
-            params = {k: v for k, v in payload.items()
-                      if k in ("unet", "pose", "vae")}
-            frozen = {"vae": payload.get("vae") or frozen["vae"]}
-        else:
-            # trainer layout, prefer EMA weights for eval (ema_scope)
-            params = payload.get("ema") or payload["params"]
+    payload = ckptr.restore(Path(ckpt_path).absolute())
+    if "unet" in payload:
+        # `cli convert` layout: submodel trees at the top level
+        params = {k: v for k, v in payload.items()
+                  if k in ("unet", "pose", "vae", "cond_fusion")}
+        vae = payload.get("vae")
+    else:
+        # trainer layout, prefer EMA weights for eval (ema_scope)
+        params = dict(payload.get("ema") or payload["params"])
+        vae = (payload.get("frozen") or {}).get("vae")
+    if vae is None:
+        if require_vae:
+            raise RuntimeError(
+                f"checkpoint {ckpt_path} carries no VAE (first-stage) "
+                "weights — decoding would use a random VAE. Re-save with a "
+                "current trainer (checkpoints now embed the frozen VAE) or "
+                "convert the reference VAE ckpt and pass it explicitly."
+            )
+        import jax
+
+        vae = model.init_params(jax.random.PRNGKey(0))["vae"]
     params = dict(params)
-    params.update(frozen)
+    params["vae"] = vae
     return params
 
 
@@ -123,7 +148,9 @@ def cmd_sample(cfg, args):
 
     model = instantiate_from_config(cfg["model"])
     params = _restore_params(model, args.ckpt)
-    enc = _build_cond_encoder(cfg, model)
+    enc = _build_cond_encoder(
+        cfg, model, allow_debug=getattr(args, "debug_encoder", False)
+    )
     samp = cfg.get("sampling") or {}
     pipe = GenerationPipeline(
         model,
@@ -156,7 +183,9 @@ def cmd_test(cfg, args):
 
     model = instantiate_from_config(cfg["model"])
     params = _restore_params(model, args.ckpt)
-    enc = _build_cond_encoder(cfg, model)
+    enc = _build_cond_encoder(
+        cfg, model, allow_debug=getattr(args, "debug_encoder", False)
+    )
     samp = cfg.get("sampling") or {}
     pipe = GenerationPipeline(
         model, num_steps=args.steps or samp.get("ddim_steps", 200),
@@ -165,13 +194,25 @@ def cmd_test(cfg, args):
     loaders = _loaders(cfg, args.batch)
     loader = loaders.get("test") or loaders["validation"]
     results = Path(args.out)
+    # VAE roundtrip for the recon group (reference log_images returns
+    # `reconstruction`, ddpm.py:1389-1393; mode() for determinism)
+    recon_fn = jax.jit(lambda p, x: model.decode_first_stage(
+        p, model.encode_first_stage_mode(p, x)))
     n = 0
     for raw in loader.epoch(0):
         batch = enc.encode_batch(raw)
         dev = {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
         imgs = np.asarray(pipe.generate(params, dev, jax.random.PRNGKey(n)))
         fnames = raw.get("fname", [f"img{n + i}" for i in range(len(imgs))])
-        dump_test_results(str(results), fnames, imgs, gt=np.asarray(raw["image"]))
+        gt = np.asarray(raw["image"])
+        extra = {"recon": np.asarray(recon_fn(params, jnp.asarray(gt)))}
+        for src_key, group in (("src_image", "src"), ("smpl_image", "smpl")):
+            if src_key in raw:
+                extra[group] = np.asarray(raw[src_key])
+        dump_test_results(
+            str(results), fnames, imgs, gt=gt, extra=extra,
+            styles=raw.get("styles"), make_concats=True,
+        )
         n += len(imgs)
         if args.max_images and n >= args.max_images:
             break
@@ -242,7 +283,16 @@ def cmd_train_vae(cfg, args):
 def cmd_eval(cfg, args):
     from upgpt_tpu.eval.harness import evaluate_dirs
 
-    print(json.dumps(evaluate_dirs(args.dir)))
+    fid_fn = None
+    fid_weights = getattr(args, "fid_weights", None) or (
+        cfg.get("eval") or {}).get("fid_weights")
+    if fid_weights:
+        # protocol FID: pytorch_fid's InceptionV3 pool3 features
+        # (reference scripts/eval_metrics.py:100-112)
+        from upgpt_tpu.eval.inception import InceptionFeatureFn, load_pt_inception
+
+        fid_fn = InceptionFeatureFn(load_pt_inception(fid_weights))
+    print(json.dumps(evaluate_dirs(args.dir, fid_feature_fn=fid_fn)))
 
 
 def cmd_convert(cfg, args):
@@ -285,6 +335,12 @@ def cmd_convert(cfg, args):
             sd = buckets[k]
             if "model.weight" in sd and sd["model.weight"].shape == (768, 85):
                 out["pose"] = convert_linear_project_state_dict(sd)
+    cond_sd = buckets.get("cond_stage") or {}
+    if any(kk.startswith("cross_att.") for kk in cond_sd):
+        # inshop_laion_clip's trainable fusion (cond_stage_key_2 route)
+        from upgpt_tpu.convert.torch_to_jax import convert_cond_fusion_state_dict
+
+        out["cond_fusion"] = convert_cond_fusion_state_dict(cond_sd)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(Path(args.out).absolute(), out, force=True)
     ckptr.wait_until_finished()
@@ -298,6 +354,10 @@ def main(argv=None):
         sp = sub.add_parser(name)
         sp.add_argument("--base", nargs="*", default=[])
         sp.add_argument("overrides", nargs="*", help="key=value dotlist")
+        if name in ("train", "sample", "test"):
+            sp.add_argument("--debug-encoder", action="store_true",
+                            help="allow hash-embedding conditioning (no CLIP "
+                                 "weights; NOT output parity)")
         if name == "train":
             sp.add_argument("--resume", action="store_true")
             sp.add_argument("--finetune-from", default=None,
@@ -311,6 +371,8 @@ def main(argv=None):
             sp.add_argument("--max-images", type=int, default=None)
         if name == "eval":
             sp.add_argument("--dir", required=True)
+            sp.add_argument("--fid-weights", default=None,
+                            help="pt_inception .pth for protocol-exact FID")
         if name == "convert":
             sp.add_argument("--torch-ckpt", required=True)
             sp.add_argument("--out", required=True)

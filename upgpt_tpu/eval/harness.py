@@ -78,11 +78,13 @@ def evaluate_dirs(
         msssim_v = np.asarray(ms_ssim(s_j, g_j, size_average=False))
         lpips_v = (
             np.asarray(lpips_fn(s_j * 2 - 1, g_j * 2 - 1))
-            if lpips_fn is not None else [float("nan")] * len(chunk)
+            if lpips_fn is not None else None
         )
-        for n, sv, mv, lv in zip(chunk, ssim_v, msssim_v, lpips_v):
-            rows.append({"file": n, "ssim": float(sv), "ms_ssim": float(mv),
-                         "lpips": float(lv)})
+        for j, (n, sv, mv) in enumerate(zip(chunk, ssim_v, msssim_v)):
+            row = {"file": n, "ssim": float(sv), "ms_ssim": float(mv)}
+            if lpips_v is not None:
+                row["lpips"] = float(lpips_v[j])
+            rows.append(row)
         if fid_feature_fn is not None:
             feats_s.append(np.asarray(fid_feature_fn(s_j * 2 - 1)))
             feats_g.append(np.asarray(fid_feature_fn(g_j * 2 - 1)))
@@ -99,8 +101,9 @@ def evaluate_dirs(
             np.concatenate(feats_s), np.concatenate(feats_g)
         )
 
+    fields = ["file", "ssim", "ms_ssim"] + (["lpips"] if lpips_fn else [])
     with open(Path(results_dir) / "metrics.csv", "w", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=["file", "ssim", "ms_ssim", "lpips"])
+        w = csv.DictWriter(f, fieldnames=fields)
         w.writeheader()
         w.writerows(rows)
     with open(Path(results_dir) / "metrics.txt", "w") as f:
@@ -115,20 +118,58 @@ def dump_test_results(
     samples: np.ndarray,
     gt: Optional[np.ndarray] = None,
     extra: Optional[Dict[str, np.ndarray]] = None,
+    styles: Optional[np.ndarray] = None,
+    make_concats: bool = False,
     crop_hw=(256, 176),
 ) -> None:
     """test_step-style result dump (ddpm.py:1327-1377): center-cropped,
-    denormalized jpgs into results/{samples,gt,...}/<fname>.jpg."""
+    denormalized jpgs into results/{samples,gt,recon,src,smpl}/<fname>.jpg,
+    plus `concats/` (src|sample|recon|smpl side by side, ddpm.py:1362-1363)
+    and `styles/` (CLIP-denormalized 9-slot strips, uncropped,
+    ddpm.py:1371-1377)."""
     root = Path(results_dir)
     groups = {"samples": samples}
     if gt is not None:
         groups["gt"] = gt
     if extra:
         groups.update(extra)
+    cropped: Dict[str, np.ndarray] = {}
     for group, imgs in groups.items():
         d = root / group
         d.mkdir(parents=True, exist_ok=True)
+        arrs = []
         for name, img in zip(fnames, imgs):
             arr = _center_crop_np(np.asarray(img, np.float32), crop_hw)
             arr = np.clip((arr + 1.0) / 2.0, 0, 1)
+            arrs.append(arr)
             Image.fromarray((arr * 255).astype(np.uint8)).save(d / f"{name}.jpg")
+        cropped[group] = arrs
+    if make_concats and all(k in cropped for k in ("samples", "recon", "src", "smpl")):
+        d = root / "concats"
+        d.mkdir(parents=True, exist_ok=True)
+        for i, name in enumerate(fnames):
+            ref_hw = cropped["samples"][i].shape[:2]
+
+            def _match(a, hw=ref_hw):
+                if a.shape[:2] == hw:
+                    return a
+                im = Image.fromarray((a * 255).astype(np.uint8))
+                return np.asarray(im.resize(hw[::-1]), np.float32) / 255.0
+
+            cat = np.concatenate(
+                [_match(cropped["src"][i]), cropped["samples"][i],
+                 _match(cropped["recon"][i]), _match(cropped["smpl"][i])],
+                axis=1,
+            )
+            Image.fromarray((cat * 255).astype(np.uint8)).save(d / f"{name}.jpg")
+    if styles is not None:
+        # reference denorm uses the 0.226862954 std typo for R
+        # (ddpm.py:1330); preserved for byte-level output parity
+        std = np.asarray([0.226862954, 0.26130258, 0.27577711], np.float32)
+        mean = np.asarray([0.48145466, 0.4578275, 0.40821073], np.float32)
+        d = root / "styles"
+        d.mkdir(parents=True, exist_ok=True)
+        for name, slots in zip(fnames, np.asarray(styles, np.float32)):
+            strip = np.concatenate(list(slots), axis=1)  # (224, 9*224, 3)
+            strip = np.clip(strip * std + mean, 0, 1)
+            Image.fromarray((strip * 255).astype(np.uint8)).save(d / f"{name}.jpg")
