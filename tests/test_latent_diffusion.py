@@ -133,3 +133,28 @@ def test_shared_x_T_broadcast():
     batch = {k: jnp.concatenate([v, v], axis=0) for k, v in b1.items()}
     z = pipe.generate(params, batch, jax.random.PRNGKey(7), shared_x_T=True)
     np.testing.assert_allclose(np.asarray(z[0]), np.asarray(z[1]), atol=1e-6)
+
+
+def test_cross_kv_hoist_parity():
+    """apply_model with precomputed attn2 K/V (the sampler's scan hoist) is
+    numerically identical to the inline projection path."""
+    from upgpt_tpu.models.unet import cross_attention_layers, precompute_cross_kv
+
+    model = LatentDiffusion(tiny_config())
+    params = model.init_params(jax.random.PRNGKey(0), include_vae=False)
+    rng = np.random.default_rng(3)
+    b = 2
+    x = jnp.asarray(rng.normal(size=(b, 8, 8, 4)), jnp.float32)
+    mask = jnp.asarray(rng.normal(size=(b, 8, 8, 1)), jnp.float32)
+    t = jnp.asarray([5, 50], jnp.int32)
+    ctx = jnp.asarray(rng.normal(size=(b, 11, 64)), jnp.float32)
+
+    names = [n for n, _ in cross_attention_layers(model.config.unet)]
+    assert names, "tiny config should have attention layers"
+
+    cond = {"c_crossattn": ctx, "c_concat": mask}
+    want = model.apply_model(params, x, t, cond)
+    kv = precompute_cross_kv(params["unet"], ctx, model.config.unet)
+    assert set(kv) == set(names)
+    got = model.apply_model(params, x, t, {**cond, "cross_kv": kv})
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)

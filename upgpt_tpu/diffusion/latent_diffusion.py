@@ -60,6 +60,12 @@ class LatentDiffusionConfig:
     # pose conditioning (LinearProject 85 -> 768); None disables (upscale stage)
     pose_input_dim: Optional[int] = 85
     context_dim: int = 768
+    # cond_stage_key_2 route (inshop_laion_clip.yaml:12,82): a TRAINABLE
+    # text<->style CrossAttention fuses style embeddings INTO the text tokens
+    # instead of token-concatenating them. None disables; "image"/"text" is
+    # the reference's style_encode mode (modules.py:306-316) — it selects
+    # which embeddings the encoder feeds in, the fusion math is identical.
+    cond_fusion: Optional[str] = None
     use_ema: bool = True
     l_simple_weight: float = 1.0
     original_elbo_weight: float = 0.0
@@ -96,6 +102,15 @@ class LatentDiffusion:
             if config.pose_input_dim
             else None
         )
+        if config.cond_fusion:
+            from upgpt_tpu.models.cond_fusion import TextStyleCrossAttention
+
+            # trainable fusion (modules.py:274-278): CrossAttention(768,
+            # heads 8, dim_head 96); joins the optimizer group via the
+            # trainable param tree (reference ddpm.py:1501-1509)
+            self.fusion = TextStyleCrossAttention(dim=config.context_dim)
+        else:
+            self.fusion = None
         self.schedule = DiffusionSchedule.create(
             timesteps=config.timesteps,
             beta_schedule=config.beta_schedule,
@@ -119,6 +134,12 @@ class LatentDiffusion:
         if self.pose is not None:
             params["pose"] = self.pose.init(
                 k_pose, jnp.zeros((1, 1, cfg.pose_input_dim))
+            )["params"]
+        if self.fusion is not None:
+            params["cond_fusion"] = self.fusion.init(
+                jax.random.fold_in(key, 7),
+                jnp.zeros((1, 77, cfg.context_dim)),
+                jnp.zeros((1, 9, cfg.context_dim)),
             )["params"]
         if include_vae:
             img_ch = cfg.vae.in_channels
@@ -159,10 +180,22 @@ class LatentDiffusion:
         style_emb: Optional[jax.Array] = None,
         smpl: Optional[jax.Array] = None,
     ) -> jax.Array:
-        """Token-concat of text (77), styles (9), pose (1) (ddpm.py:733-739)."""
-        parts = [text_emb]
-        if style_emb is not None:
-            parts.append(style_emb)
+        """Context assembly.
+
+        Default: token-concat of text (77), styles (9), pose (1)
+        (ddpm.py:733-739). With cond_fusion (cond_stage_key_2 route,
+        ddpm.py:707-713): styles are fused INTO the text tokens by the
+        trainable CrossAttention, so the context is fused-text (77) + pose.
+        """
+        if self.fusion is not None:
+            text_emb = self.fusion.apply(
+                {"params": params["cond_fusion"]}, text_emb, style_emb
+            )
+            parts = [text_emb]
+        else:
+            parts = [text_emb]
+            if style_emb is not None:
+                parts.append(style_emb)
         if smpl is not None:
             parts.append(self.pose_token(params, smpl))
         return jnp.concatenate(parts, axis=1)
@@ -181,10 +214,15 @@ class LatentDiffusion:
         self, params, x_noisy: jax.Array, t: jax.Array, cond: Dict[str, Any],
         *, deterministic: bool = True,
     ) -> jax.Array:
-        """DiffusionWrapper conditioning router (ddpm.py:1550-1577)."""
+        """DiffusionWrapper conditioning router (ddpm.py:1550-1577).
+
+        `cond` may carry "cross_kv" — precomputed per-layer attn2 K/V of a
+        loop-invariant context (models/unet.precompute_cross_kv) that the
+        sampler hoists out of its scan."""
         key = self.config.conditioning_key
         context = cond.get("c_crossattn")
         concat = cond.get("c_concat")
+        cross_kv = cond.get("cross_kv")
         if key == "hybrid":
             x_in = jnp.concatenate([x_noisy, concat.astype(x_noisy.dtype)], axis=-1)
         elif key == "concat":
@@ -198,7 +236,7 @@ class LatentDiffusion:
             raise NotImplementedError(key)
         return self.unet.apply(
             {"params": params["unet"]}, x_in, t, context,
-            deterministic=deterministic,
+            cross_kv=cross_kv, deterministic=deterministic,
         )
 
     # ---------------- training loss ----------------

@@ -80,7 +80,22 @@ class GenerationPipeline:
             batch.get("smpl"),
         )
         cond = {"c_crossattn": context, "c_concat": batch.get("person_mask")}
+        if cfg.conditioning_key in ("hybrid", "crossattn"):
+            # context is fixed across the whole reverse process: hoist every
+            # attn2 K/V projection out of the DDIM scan
+            from upgpt_tpu.models.unet import precompute_cross_kv
+
+            cond["cross_kv"] = precompute_cross_kv(
+                params["unet"], context, cfg.unet
+            )
         uncond = batch.get("uncond")  # optional dict for real CFG
+        if uncond is not None and "cross_kv" in cond:
+            from upgpt_tpu.models.unet import precompute_cross_kv
+
+            uncond = dict(uncond)
+            uncond["cross_kv"] = precompute_cross_kv(
+                params["unet"], uncond["c_crossattn"], cfg.unet
+            )
 
         b = batch["text_emb"].shape[0]
         h, w = cfg.latent_size

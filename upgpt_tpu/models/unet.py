@@ -227,12 +227,20 @@ class CrossAttention(nn.Module):
     use_flash: bool = False
 
     @nn.compact
-    def __call__(self, x, context=None):
+    def __call__(self, x, context=None, kv=None):
         inner = self.num_heads * self.head_dim
-        context = x if context is None else context
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        if kv is not None:
+            # precomputed K/V of a loop-invariant context (sampling: the
+            # 87-token context is fixed across all DDIM steps, so the to_k /
+            # to_v projections are hoisted out of the scan — see
+            # precompute_cross_kv). Params for to_k/to_v still exist (created
+            # at init, when kv is never passed).
+            k, v = kv
+        else:
+            context = x if context is None else context
+            k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+            v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
         out = multi_head_attention(q, k, v, self.num_heads, use_flash=self.use_flash)
         return nn.Dense(self.out_dim, dtype=self.dtype, name="to_out")(out)
 
@@ -270,7 +278,7 @@ class BasicTransformerBlock(nn.Module):
     use_flash: bool = False
 
     @nn.compact
-    def __call__(self, x, context=None):
+    def __call__(self, x, context=None, kv=None):
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=name)
         x = CrossAttention(
             self.num_heads, self.head_dim, self.dim, self.dtype,
@@ -278,7 +286,7 @@ class BasicTransformerBlock(nn.Module):
         )(ln("norm1")(x).astype(x.dtype)) + x
         x = CrossAttention(
             self.num_heads, self.head_dim, self.dim, self.dtype, name="attn2",
-        )(ln("norm2")(x).astype(x.dtype), context=context) + x
+        )(ln("norm2")(x).astype(x.dtype), context=context, kv=kv) + x
         x = GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(
             ln("norm3")(x).astype(x.dtype)
         ) + x
@@ -299,7 +307,7 @@ class SpatialTransformer(nn.Module):
     use_flash: bool = False
 
     @nn.compact
-    def __call__(self, x, context=None):
+    def __call__(self, x, context=None, kv=None):
         b, h, w, c = x.shape
         inner = self.num_heads * self.head_dim
         res = x
@@ -313,7 +321,8 @@ class SpatialTransformer(nn.Module):
             x = BasicTransformerBlock(
                 inner, self.num_heads, self.head_dim, self.dtype,
                 use_flash=self.use_flash, name=f"block_{i}",
-            )(x, context=context)
+            )(x, context=context,
+              kv=None if kv is None else kv.get(f"block_{i}"))
         x = nn.Dense(
             c, kernel_init=nn.initializers.zeros_init(),
             dtype=self.dtype, name="proj_out",
@@ -354,7 +363,8 @@ class UNetModel(nn.Module):
     config: UNetConfig
 
     @nn.compact
-    def __call__(self, x, timesteps, context=None, *, deterministic: bool = True):
+    def __call__(self, x, timesteps, context=None, *, cross_kv=None,
+                 deterministic: bool = True):
         cfg = self.config
         comp = cfg.dtype
 
@@ -376,10 +386,12 @@ class UNetModel(nn.Module):
 
         def attn_layer(ch: int, ds: int, name: str):
             head_dim = ch // cfg.num_heads
-            return transformer(
+            mod = transformer(
                 ch, cfg.num_heads, head_dim, depth=cfg.transformer_depth,
                 dtype=comp, use_flash=cfg.use_flash_attention, name=name,
             )
+            layer_kv = None if cross_kv is None else cross_kv.get(name)
+            return lambda h, ctx: mod(h, ctx, kv=layer_kv)
 
         h = conv3x3(cfg.model_channels, comp, name="conv_in")(x.astype(comp))
         hs = [h]
@@ -427,3 +439,50 @@ class UNetModel(nn.Module):
                         name="out_norm")(h)
         h = conv3x3(cfg.out_channels, comp, zero_init=True, name="out_conv")(h)
         return h.astype(jnp.float32)
+
+
+def cross_attention_layers(cfg: UNetConfig):
+    """[(layer_name, channels)] of every SpatialTransformer in the net, in
+    the same order/naming as UNetModel.__call__ builds them."""
+    names = []
+    ch = cfg.model_channels
+    ds = 1
+    for level, mult in enumerate(cfg.channel_mult):
+        for i in range(cfg.num_res_blocks):
+            ch = mult * cfg.model_channels
+            if ds in cfg.attention_resolutions:
+                names.append((f"down_{level}_{i}_attn", ch))
+        if level != len(cfg.channel_mult) - 1:
+            ds *= 2
+    names.append(("mid_attn", ch))
+    for level, mult in reversed(list(enumerate(cfg.channel_mult))):
+        for i in range(cfg.num_res_blocks + 1):
+            ch = cfg.model_channels * mult
+            if ds in cfg.attention_resolutions:
+                names.append((f"up_{level}_{i}_attn", ch))
+            if level and i == cfg.num_res_blocks:
+                ds //= 2
+    return names
+
+
+def precompute_cross_kv(unet_params, context, cfg: UNetConfig):
+    """Project the fixed cross-attention context through every attn2's
+    to_k/to_v ONCE, for reuse across all steps of a sampling scan.
+
+    The reference recomputes these projections inside every denoiser call
+    (attention.py:170-172); under a 50-200-step DDIM scan that is pure
+    loop-invariant work, so the sampler hoists it (measured ~3% of the step,
+    docs/PERF.md). Returns {layer: {block_i: (k, v)}} matching
+    UNetModel.__call__(cross_kv=...).
+    """
+    ctx = context.astype(cfg.dtype)
+    out = {}
+    for name, _ch in cross_attention_layers(cfg):
+        blocks = {}
+        for d in range(cfg.transformer_depth):
+            p = unet_params[name][f"block_{d}"]["attn2"]
+            k = ctx @ p["to_k"]["kernel"].astype(cfg.dtype)
+            v = ctx @ p["to_v"]["kernel"].astype(cfg.dtype)
+            blocks[f"block_{d}"] = (k, v)
+        out[name] = blocks
+    return out
