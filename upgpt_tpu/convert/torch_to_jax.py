@@ -269,6 +269,14 @@ def convert_linear_project_state_dict(sd: StateDict, prefix: str = "model") -> D
     return {"proj": _dense(sd, prefix)}
 
 
+def convert_cond_fusion_state_dict(sd: StateDict, prefix: str = "cross_att") -> Dict:
+    """CLIPTextImageCrossAtten's trainable cross_att
+    (encoders/modules.py:274-278) -> models.cond_fusion.TextStyleCrossAttention
+    params. The frozen laion CLIP towers in the same module convert via
+    convert_clip_* (quick_gelu=False configs)."""
+    return {"cross_att": _cross_attention(sd, prefix)}
+
+
 def split_ldm_checkpoint(path: str) -> Dict[str, Dict[str, Array]]:
     """Load a Lightning .ckpt and split its state_dict by submodel prefix.
 

@@ -40,6 +40,7 @@ def build_latent_diffusion(
         "interp_256": _interp_256,
         "mm_512": _mm_512,
         "upscale": _upscale,
+        "inshop_laion": _inshop_laion,
         "tiny": _tiny,  # CI/smoke geometry, not a released variant
     }
     if variant not in builders:
@@ -70,6 +71,16 @@ def _pt_256(comp, ckpt, flash) -> LatentDiffusionConfig:
 
 def _interp_256(comp, ckpt, flash) -> LatentDiffusionConfig:
     return _pt_256(comp, ckpt, flash)  # same graph; loss weights are data-side
+
+
+def _inshop_laion(comp, ckpt, flash) -> LatentDiffusionConfig:
+    # configs/deepfashion/inshop_laion_clip.yaml: interp geometry with the
+    # cond_stage_key_2 route — TRAINABLE text<->style CrossAttention fusion
+    # over laion-CLIP embeddings (quick_gelu=False towers), smpl RPM mask,
+    # context = fused text (77) + pose (1)
+    return dataclasses.replace(
+        _pt_256(comp, ckpt, flash), cond_fusion="image"
+    )
 
 
 def _mm_512(comp, ckpt, flash) -> LatentDiffusionConfig:
