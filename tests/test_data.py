@@ -183,3 +183,66 @@ def test_face_crop_rejected_if_tall():
     segm[10:250, 60:120] = 14  # 240px tall face -> rejected
     crops = seg(img, segm)
     assert crops["face"].sum() == 0
+
+
+def test_prefetch_loader_matches_sequential(fashion_tree):
+    """PrefetchDataLoader yields byte-identical batches in identical order
+    to the sequential DataLoader for the same seed/epoch."""
+    from upgpt_tpu.data.deepfashion import DataLoader, PrefetchDataLoader
+
+    ds = _make(fashion_tree)
+    a = DataLoader(ds, 2, shuffle=True, seed=3, drop_last=False)
+    b = PrefetchDataLoader(ds, 2, shuffle=True, seed=3, drop_last=False,
+                           num_workers=4, prefetch_batches=2)
+    for ba, bb in zip(a.epoch(5), b.epoch(5)):
+        assert sorted(ba) == sorted(bb)
+        for k in ba:
+            if isinstance(ba[k], list):
+                assert ba[k] == bb[k]
+            else:
+                np.testing.assert_array_equal(ba[k], bb[k])
+
+
+def test_prefetch_loader_overlaps_decode():
+    """With per-item decode latency, the parallel loader sustains >= 2x the
+    sequential rate (VERDICT round-1: loader must outpace the train step)."""
+    import time
+
+    from upgpt_tpu.data.deepfashion import DataLoader, PrefetchDataLoader
+
+    class SlowDs:
+        def __len__(self):
+            return 24
+
+        def __getitem__(self, i):
+            time.sleep(0.02)  # stand-in for PIL decode + transforms
+            return {"image": np.full((4, 4, 3), i, np.float32)}
+
+    seq = DataLoader(SlowDs(), 4, shuffle=False)
+    par = PrefetchDataLoader(SlowDs(), 4, shuffle=False, num_workers=8)
+    t0 = time.perf_counter()
+    n_seq = sum(1 for _ in seq.epoch(0))
+    t_seq = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_par = sum(1 for _ in par.epoch(0))
+    t_par = time.perf_counter() - t0
+    assert n_seq == n_par == 6
+    assert t_seq / t_par >= 2.0, (t_seq, t_par)
+
+
+def test_prefetch_loader_propagates_errors():
+    from upgpt_tpu.data.deepfashion import PrefetchDataLoader
+
+    class BadDs:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            if i == 2:
+                raise ValueError("boom")
+            return {"x": np.zeros(2, np.float32)}
+
+    loader = PrefetchDataLoader(BadDs(), 2, shuffle=False, num_workers=2)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="boom"):
+        list(loader.epoch(0))

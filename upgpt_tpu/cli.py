@@ -54,14 +54,22 @@ def _build_cond_encoder(cfg, model, allow_debug=False):
 
 
 def _loaders(cfg, batch_size):
-    from upgpt_tpu.data.deepfashion import DataLoader
+    from upgpt_tpu.data.deepfashion import DataLoader, PrefetchDataLoader
 
     data_cfg = cfg.get("data") or {}
     out = {}
     for split in ("train", "validation", "test"):
         if split in data_cfg:
             ds = instantiate_from_config(data_cfg[split])
-            out[split] = DataLoader(ds, batch_size, shuffle=(split == "train"))
+            if split == "train":
+                # parallel decode + prefetch so the input pipeline overlaps
+                # the device step (reference worker processes, main.py:208-250)
+                out[split] = PrefetchDataLoader(
+                    ds, batch_size, shuffle=True,
+                    num_workers=int(data_cfg.get("num_workers", 0)),
+                )
+            else:
+                out[split] = DataLoader(ds, batch_size, shuffle=False)
     return out
 
 
@@ -325,7 +333,15 @@ def cmd_convert(cfg, args):
         vae_cfg = AutoencoderConfig.kl_f8()
     out = {}
     if "unet" in buckets:
-        out["unet"] = convert_unet_state_dict(buckets["unet"], unet_cfg)
+        unet_sd = buckets["unet"]
+        if getattr(args, "ema", False):
+            from upgpt_tpu.convert.torch_to_jax import ema_unet_state_dict
+
+            ema_sd = ema_unet_state_dict(buckets)
+            if ema_sd is None:
+                raise SystemExit("--ema: checkpoint has no model_ema shadow")
+            unet_sd = ema_sd
+        out["unet"] = convert_unet_state_dict(unet_sd, unet_cfg)
     if "vae" in buckets:
         out["vae"] = convert_vae_state_dict(buckets["vae"], vae_cfg)
     for k in buckets:
@@ -377,6 +393,9 @@ def main(argv=None):
             sp.add_argument("--torch-ckpt", required=True)
             sp.add_argument("--out", required=True)
             sp.add_argument("--variant", default="interp_256")
+            sp.add_argument("--ema", action="store_true",
+                            help="convert the model_ema shadow weights "
+                                 "(the released eval protocol, ema_scope)")
     args = p.parse_args(argv)
     cfg = merge_configs(args.base, args.overrides) if args.base else {}
     {"train": cmd_train, "train-vae": cmd_train_vae, "sample": cmd_sample,

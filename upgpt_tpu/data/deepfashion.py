@@ -346,11 +346,80 @@ class DataLoader:
             n += 1
         return n
 
-    def epoch(self, epoch: int = 0):
+    def _permutation(self, epoch: int) -> np.ndarray:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             rng = np.random.default_rng(self.seed + epoch)
             rng.shuffle(idx)
+        return idx
+
+    def epoch(self, epoch: int = 0):
+        idx = self._permutation(epoch)
         for i in range(len(self)):
             sel = idx[i * self.batch_size : (i + 1) * self.batch_size]
             yield collate([self.dataset[int(j)] for j in sel])
+
+
+class PrefetchDataLoader(DataLoader):
+    """Parallel-decode, prefetching loader: the worker-process DataLoader
+    equivalent (reference main.py:208-250, num_workers = 2*bs).
+
+    Items of a batch decode concurrently on a thread pool (PIL/numpy decode
+    releases the GIL), a producer thread assembles collated batches, and a
+    bounded queue keeps `prefetch_batches` ready ahead of the consumer — so
+    host-side decode overlaps the device step instead of serializing with
+    it. Determinism: identical per-epoch permutation (and therefore
+    identical batches) to the sequential DataLoader.
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, drop_last: bool = True,
+                 num_workers: int = 0, prefetch_batches: int = 2):
+        super().__init__(dataset, batch_size, shuffle=shuffle, seed=seed,
+                         drop_last=drop_last)
+        self.num_workers = num_workers or min(32, 2 * batch_size)
+        self.prefetch_batches = max(1, prefetch_batches)
+
+    def epoch(self, epoch: int = 0):
+        import queue
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        idx = self._permutation(epoch)
+        n_batches = len(self)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
+        stop = threading.Event()
+        _END = object()
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as ex:
+                    for i in range(n_batches):
+                        if stop.is_set():
+                            return
+                        sel = idx[i * self.batch_size:(i + 1) * self.batch_size]
+                        futs = [ex.submit(self.dataset.__getitem__, int(j))
+                                for j in sel]
+                        q.put(collate([f.result() for f in futs]))
+                q.put(_END)
+            except BaseException as e:  # propagate decode errors to consumer
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # unblock a producer stuck on a full queue
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:  # pragma: no cover
+                    break

@@ -316,6 +316,7 @@ class Trainer:
         # the epoch counter from the ckpt; we derive it from the step count)
         start_epoch = int(state.step) // max(len(train_loader), 1)
         try:
+            step = int(state.step)
             for epoch in range(start_epoch, cfg.max_epochs):
                 t_epoch = time.time()
                 for raw in train_loader.epoch(epoch):
@@ -323,7 +324,12 @@ class Trainer:
                     state, metrics = self._train_step(
                         state, frozen_params, batch, rng
                     )
-                    step = int(state.step)
+                    # host-side step counter: forcing int(state.step) every
+                    # iteration would sync the device each step and kill the
+                    # dispatch/decode overlap (the loader prefetches and jax
+                    # dispatch is async — the device runs step N while the
+                    # host decodes/encodes N+1)
+                    step += 1
                     if step % cfg.log_every == 0:
                         self._log({"step": step, "epoch": epoch,
                                    "lr": self.learning_rate * float(self.scheduler(step)),
