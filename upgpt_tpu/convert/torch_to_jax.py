@@ -311,3 +311,31 @@ def split_ldm_checkpoint(path: str) -> Dict[str, Dict[str, Array]]:
         else:
             put("other", k, v)
     return buckets
+
+
+def ema_unet_state_dict(buckets: Dict[str, Dict[str, Array]]):
+    """Recover the EMA U-Net weights from LitEma's flattened shadow names.
+
+    LitEma registers shadow buffers under `name.replace('.', '')`
+    (reference ema.py:13-15) relative to the DiffusionWrapper, i.e.
+    `model_ema.diffusion_modelinput_blocks00weight`. Maps them back onto the
+    `unet` bucket's dotted layout so convert_unet_state_dict can consume
+    them (the released eval protocol runs under ema_scope, ddpm.py:179-192).
+    Returns None when no EMA shadow is present.
+    """
+    ema = buckets.get("ema")
+    unet = buckets.get("unet")
+    if not ema or not unet:
+        return None
+    out = {}
+    for k in unet:
+        flat = ("diffusion_model." + k).replace(".", "")
+        if flat in ema:
+            out[k] = ema[flat]
+        elif k.endswith("num_batches_tracked"):  # non-param buffers
+            out[k] = unet[k]
+    missing = set(unet) - set(out)
+    if missing:
+        # EMA tracks trainable params only; anything else falls back
+        out.update({k: unet[k] for k in missing})
+    return out
