@@ -54,12 +54,17 @@ class GenerationPipeline:
         eta: float = 1.0,
         guidance_scale: float = 1.0,
         decode: bool = True,
+        output_uint8: bool = False,
     ):
         self.model = model
         self.num_steps = num_steps
         self.eta = eta
         self.guidance_scale = guidance_scale
         self.decode = decode
+        # uint8 RGB output quarters the device->host transfer (the serving
+        # path saves uint8 images anyway); off by default for tests/APIs
+        # that expect [-1,1] floats
+        self.output_uint8 = output_uint8
         self.ddim = make_ddim_schedule(model.schedule, num_steps, eta=eta)
         self._sample = jax.jit(self._sample_impl, static_argnames=("shared_x_T",))
 
@@ -118,7 +123,10 @@ class GenerationPipeline:
         if not self.decode:
             return z
         img = model.decode_first_stage(params, z)
-        return jnp.clip(img, -1.0, 1.0)
+        img = jnp.clip(img, -1.0, 1.0)
+        if self.output_uint8:
+            return jnp.round((img + 1.0) * 127.5).astype(jnp.uint8)
+        return img
 
     def generate(
         self,

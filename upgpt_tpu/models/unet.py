@@ -56,6 +56,9 @@ class UNetConfig:
     use_flash_attention: bool = True
     use_fused_groupnorm: bool = False
     use_fused_resblock: bool = False
+    # one Pallas kernel per SpatialTransformer block per sample
+    # (ops/fused_transformer.py); falls back per-shape when not qualifying
+    use_fused_transformer: bool = False
     dtype: Dtype = jnp.float32
 
     @classmethod
@@ -293,10 +296,96 @@ class BasicTransformerBlock(nn.Module):
         return x
 
 
+class _DenseParams(nn.Module):
+    """Param holder matching nn.Dense's tree ({kernel[, bias]})."""
+
+    in_dim: int
+    out_dim: int
+    use_bias: bool = True
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self):
+        init = (nn.initializers.zeros_init() if self.zero_init
+                else nn.initializers.lecun_normal())
+        out = {"kernel": self.param("kernel", init, (self.in_dim, self.out_dim))}
+        if self.use_bias:
+            out["bias"] = self.param(
+                "bias", nn.initializers.zeros, (self.out_dim,))
+        return out
+
+
+class _LNParams(nn.Module):
+    """Param holder matching nn.LayerNorm's tree ({scale, bias})."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return {
+            "scale": self.param("scale", nn.initializers.ones, (self.dim,)),
+            "bias": self.param("bias", nn.initializers.zeros, (self.dim,)),
+        }
+
+
+class _AttnParams(nn.Module):
+    """Param holder matching CrossAttention's tree."""
+
+    query_dim: int
+    context_dim: int
+    inner: int
+
+    @nn.compact
+    def __call__(self):
+        return {
+            "to_q": _DenseParams(self.query_dim, self.inner, False, name="to_q")(),
+            "to_k": _DenseParams(self.context_dim, self.inner, False, name="to_k")(),
+            "to_v": _DenseParams(self.context_dim, self.inner, False, name="to_v")(),
+            "to_out": _DenseParams(self.inner, self.query_dim, name="to_out")(),
+        }
+
+
+class _FFParams(nn.Module):
+    """Param holder matching GEGLUFeedForward's tree."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return {
+            "proj_in": _DenseParams(self.dim, 8 * self.dim, name="proj_in")(),
+            "proj_out": _DenseParams(4 * self.dim, self.dim, name="proj_out")(),
+        }
+
+
+class _BlockParams(nn.Module):
+    """Param holder matching BasicTransformerBlock's tree."""
+
+    dim: int
+    context_dim: int
+
+    @nn.compact
+    def __call__(self):
+        d = self.dim
+        return {
+            "attn1": _AttnParams(d, d, d, name="attn1")(),
+            "attn2": _AttnParams(d, self.context_dim, d, name="attn2")(),
+            "ff": _FFParams(d, name="ff")(),
+            "norm1": _LNParams(d, name="norm1")(),
+            "norm2": _LNParams(d, name="norm2")(),
+            "norm3": _LNParams(d, name="norm3")(),
+        }
+
+
 class SpatialTransformer(nn.Module):
     """GN(1e-6) -> 1x1 in-proj -> token transformer -> zero 1x1 out-proj + res.
 
     Reference attention.py:218-261. Tokens are the flattened H*W grid.
+    Params live in holder modules (tree identical to the round-1 module
+    graph, so converters/checkpoints are unchanged) so the whole block can
+    dispatch to ONE Pallas kernel per sample (ops/fused_transformer.py) when
+    `fused` and the geometry qualifies; otherwise the jnp twin runs — the
+    same math, with the Pallas flash-attention path for long self-attention.
     """
 
     channels: int
@@ -305,29 +394,49 @@ class SpatialTransformer(nn.Module):
     depth: int = 1
     dtype: Dtype = jnp.float32
     use_flash: bool = False
+    fused: bool = False
+    context_dim: Optional[int] = None  # attn2 k/v input width; None = self
 
     @nn.compact
     def __call__(self, x, context=None, kv=None):
+        from upgpt_tpu.ops.fused_transformer import (
+            fused_transformer_block, fused_transformer_qualifies,
+            transformer_block_reference,
+        )
+
         b, h, w, c = x.shape
         inner = self.num_heads * self.head_dim
-        res = x
-        x = GroupNorm32(c, eps=1e-6, name="norm")(x)
-        # the reference's 1x1 convs (attention.py:233-248) are Dense layers on
-        # the token view here — identical math, but the whole transformer
-        # stays in (B, T, C) with no NHWC<->token layout churn per block
-        x = x.reshape(b, h * w, c)
-        x = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x)
+        ctx_dim = self.context_dim or (
+            c if context is None else context.shape[-1])
+        p = {
+            "norm": _GNParams(c, name="norm")(),
+            "proj_in": _DenseParams(c, inner, name="proj_in")(),
+            "proj_out": _DenseParams(inner, c, zero_init=True, name="proj_out")(),
+        }
         for i in range(self.depth):
-            x = BasicTransformerBlock(
-                inner, self.num_heads, self.head_dim, self.dtype,
-                use_flash=self.use_flash, name=f"block_{i}",
-            )(x, context=context,
-              kv=None if kv is None else kv.get(f"block_{i}"))
-        x = nn.Dense(
-            c, kernel_init=nn.initializers.zeros_init(),
-            dtype=self.dtype, name="proj_out",
-        )(x)
-        return x.reshape(b, h, w, c) + res
+            p[f"block_{i}"] = _BlockParams(inner, ctx_dim, name=f"block_{i}")()
+        # holders return (scale, bias) tuples for GN; normalize to a dict
+        p["norm"] = {"scale": p["norm"][0], "bias": p["norm"][1]}
+
+        tokens = x.reshape(b, h * w, c).astype(self.dtype)
+        ctx = None if context is None else context.astype(self.dtype)
+        kv0 = None if kv is None else kv.get("block_0")
+        tk = (kv0[0].shape[1] if kv0 is not None
+              else (ctx.shape[1] if ctx is not None else h * w))
+        if (self.fused and self.depth == 1 and inner == c
+                and (kv0 is not None or ctx is not None)
+                and fused_transformer_qualifies(h * w, c, self.num_heads, tk)):
+            out = fused_transformer_block(
+                tokens, p, self.num_heads, ctx, kv0,
+                1e-6, self.use_flash,
+            )
+            return out.reshape(b, h, w, c)
+        # jnp twin path (loops the inner blocks for depth > 1)
+        out = transformer_block_reference(
+            tokens, p, self.num_heads, ctx, kv,
+            use_flash=self.use_flash,
+        )
+        return out.reshape(b, h, w, c)
 
 
 class Downsample(nn.Module):
@@ -388,7 +497,9 @@ class UNetModel(nn.Module):
             head_dim = ch // cfg.num_heads
             mod = transformer(
                 ch, cfg.num_heads, head_dim, depth=cfg.transformer_depth,
-                dtype=comp, use_flash=cfg.use_flash_attention, name=name,
+                dtype=comp, use_flash=cfg.use_flash_attention,
+                fused=cfg.use_fused_transformer, context_dim=cfg.context_dim,
+                name=name,
             )
             layer_kv = None if cross_kv is None else cross_kv.get(name)
             return lambda h, ctx: mod(h, ctx, kv=layer_kv)

@@ -1,0 +1,411 @@
+"""Fused SpatialTransformer block: one Pallas kernel per sample.
+
+Round-2 trace (docs/PERF.md): at batch 32 the five ds=1 SpatialTransformers
+cost ~15 ms of a 24.8 ms U-Net step, but only 2.7 ms of that is attention
+math — the rest is layout churn between XLA's conv layouts (batch-in-
+sublanes) and dot layouts (token-major): head split/merge transposes,
+proj/QKV dots running at ~13 TF/s, fp32 LayerNorm islands, softmax buffer
+round-trips. This kernel runs the ENTIRE transformer block per sample
+inside VMEM — tokens leave HBM once and return once:
+
+    GN32(eps 1e-6) -> proj_in -> [LN1 -> self-attn -> LN2 -> cross-attn ->
+    LN3 -> GEGLU FF] -> zero-init proj_out -> + residual
+
+matching reference attention.py:218-261 / 196-215 exactly (fp32 GN/LN/
+softmax islands, exact-erf GELU, per-head scale 1/sqrt(d)). Heads never
+transpose: per-head weight slices are pre-split host-side into (H, C, Dh),
+so every in-kernel matmul is lane-contiguous.
+
+Cross-attention K/V arrive precomputed per head (the sampler hoists those
+projections out of the DDIM scan via precompute_cross_kv); when absent
+(training), the raw context enters and K/V are projected in-kernel.
+
+Differentiable via custom VJP: Pallas forward, XLA-recompute backward
+through the jnp twin (`transformer_block_reference`) — identical math.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_BUDGET = 15 * 1024 * 1024
+
+
+# ---------------------------------------------------------------- helpers
+
+
+def _group_matrix(c: int, g: int) -> np.ndarray:
+    m = np.zeros((c, g), np.float32)
+    m[np.arange(c), np.arange(c) // (c // g)] = 1.0
+    return m
+
+
+def _split_heads_kernel(w: jax.Array, heads: int) -> jax.Array:
+    """(C_in, H*Dh) -> (H, C_in, Dh): lane-contiguous per-head weight."""
+    cin, inner = w.shape
+    return w.reshape(cin, heads, inner // heads).transpose(1, 0, 2)
+
+
+def _split_heads_out(w: jax.Array, heads: int) -> jax.Array:
+    """(H*Dh, C) -> (H, Dh, C)."""
+    inner, c = w.shape
+    return w.reshape(heads, inner // heads, c)
+
+
+def _ln_f32(z, scale, bias, eps: float = 1e-5):
+    mu = jnp.mean(z, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(z - mu), axis=-1, keepdims=True)
+    return (z - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _gelu_exact(z):
+    return z * 0.5 * (1.0 + jax.lax.erf(z * np.float32(1.0 / math.sqrt(2.0))))
+
+
+def _erf_as(x):
+    """Abramowitz & Stegun 7.1.26 erf (max abs err 1.5e-7): Mosaic has no
+    erf lowering, and 1.5e-7 is far below bf16 resolution (the kernel's
+    compute dtype in production)."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, pc = -1.453152027, 1.061405429, 0.3275911
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + pc * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
+def _gelu_kernel(z):
+    return z * 0.5 * (1.0 + _erf_as(z * np.float32(1.0 / math.sqrt(2.0))))
+
+
+# ---------------------------------------------------------------- kernel
+
+
+def _block_kernel(
+    x_ref, m_ref,
+    gn_s, gn_b, wpi, bpi,
+    ln1_s, ln1_b, wq, wk, wv, wo, bo,
+    ln2_s, ln2_b, wq2, ck_ref, cv_ref, wo2, bo2,
+    ln3_s, ln3_b, w1, b1, w2, b2,
+    wpo, bpo,
+    *rest,
+    heads: int, scale: float, gn_eps: float, cnt: float,
+    kv_precomputed: bool, ff_tile: int,
+):
+    if kv_precomputed:
+        (o_ref,) = rest
+        wk2_ref = wv2_ref = None
+    else:
+        wk2_ref, wv2_ref, o_ref = rest
+    comp = x_ref.dtype
+    x = x_ref[0]  # (T, C) in compute dtype; residual stream stays in comp
+    t, c = x.shape
+
+    def mm(a, w):
+        return jnp.dot(a.astype(comp), w.astype(comp),
+                       preferred_element_type=jnp.float32)
+
+    # --- GroupNorm32 (eps 1e-6): matmul group stats, fp32 ---
+    m = m_ref[...]
+    xf = x.astype(jnp.float32)
+    s1 = jnp.dot(jnp.sum(xf, axis=0, keepdims=True), m,
+                 preferred_element_type=jnp.float32) / cnt
+    s2 = jnp.dot(jnp.sum(xf * xf, axis=0, keepdims=True), m,
+                 preferred_element_type=jnp.float32) / cnt
+    inv = jax.lax.rsqrt(jnp.maximum(s2 - s1 * s1, 0.0) + gn_eps)
+    mean_c = jnp.dot(s1, m.T, preferred_element_type=jnp.float32)
+    inv_c = jnp.dot(inv, m.T, preferred_element_type=jnp.float32)
+    gn = ((xf - mean_c) * inv_c * gn_s[...] + gn_b[...]).astype(comp)
+
+    def ln_c(z, s_, b_):
+        # fp32 LayerNorm island, result back in compute dtype (same as the
+        # XLA twin: bf16 residual stream, fp32 normalization statistics)
+        return _ln_f32(z.astype(jnp.float32), s_[...], b_[...]).astype(comp)
+
+    def attention(a, wq_r, get_kv, wo_r, bo_r, base):
+        acc = bo_r[...] + base.astype(jnp.float32)
+        for hh in range(heads):
+            q = mm(a, wq_r[hh]).astype(comp)
+            k, v = get_kv(hh, a)
+            s = jax.lax.dot_general(
+                q, k.astype(comp),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            p = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+            p = (p * pl.reciprocal(
+                jnp.sum(p, axis=-1, keepdims=True))).astype(comp)
+            o = jnp.dot(p, v.astype(comp),
+                        preferred_element_type=jnp.float32).astype(comp)
+            acc = acc + mm(o, wo_r[hh])
+        return acc.astype(comp)
+
+    # --- proj_in ---
+    h = (mm(gn, wpi[...]) + bpi[...]).astype(comp)
+
+    # --- self-attention ---
+    a = ln_c(h, ln1_s, ln1_b)
+    h = attention(
+        a, wq, lambda hh, a_: (mm(a_, wk[hh]).astype(comp),
+                               mm(a_, wv[hh]).astype(comp)), wo, bo, h)
+
+    # --- cross-attention ---
+    a = ln_c(h, ln2_s, ln2_b)
+    if kv_precomputed:
+        get_kv = lambda hh, a_: (ck_ref[0, hh], cv_ref[0, hh])
+    else:
+        ctx = ck_ref[0]
+        get_kv = lambda hh, a_: (mm(ctx, wk2_ref[hh]).astype(comp),
+                                 mm(ctx, wv2_ref[hh]).astype(comp))
+    h = attention(a, wq2, get_kv, wo2, bo2, h)
+
+    # --- GEGLU FF (T-tiled only when the (T, 8C) intermediate is large) ---
+    a = ln_c(h, ln3_s, ln3_b)
+    inner = w1.shape[-1] // 2
+    rows = []
+    for i in range(t // ff_tile):
+        g = mm(a[i * ff_tile:(i + 1) * ff_tile], w1[...]) + b1[...]
+        xh, gate = g[:, :inner], g[:, inner:]
+        rows.append(mm((xh * _gelu_kernel(gate)).astype(comp), w2[...]))
+    ff = jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+    h = (h.astype(jnp.float32) + ff + b2[...]).astype(comp)
+
+    # --- zero-init proj_out + outer residual ---
+    o_ref[0] = (mm(h, wpo[...]) + bpo[...]
+                + x.astype(jnp.float32)).astype(o_ref.dtype)
+
+
+# ---------------------------------------------------------------- jnp twin
+
+
+def _dense(z, tree, bias=True):
+    out = z @ tree["kernel"].astype(z.dtype)
+    if bias and "bias" in tree:
+        out = out + tree["bias"].astype(out.dtype)
+    return out
+
+
+def _ln_tree(z, tree):
+    return _ln_f32(
+        z.astype(jnp.float32), tree["scale"].astype(jnp.float32),
+        tree["bias"].astype(jnp.float32),
+    ).astype(z.dtype)
+
+
+def _basic_block_ref(h, blk, heads, context, kv, use_flash):
+    """One BasicTransformerBlock (reference attention.py:196-215) in jnp."""
+    from upgpt_tpu.ops.attention import multi_head_attention
+
+    comp = h.dtype
+    z = _ln_tree(h, blk["norm1"])
+    a1 = blk["attn1"]
+    h = h + _dense(
+        multi_head_attention(
+            _dense(z, a1["to_q"], bias=False),
+            _dense(z, a1["to_k"], bias=False),
+            _dense(z, a1["to_v"], bias=False),
+            heads, use_flash=use_flash,
+        ), a1["to_out"])
+    z = _ln_tree(h, blk["norm2"])
+    a2 = blk["attn2"]
+    if kv is not None:
+        k, v = kv
+    else:
+        src = z if context is None else context.astype(comp)
+        k = _dense(src, a2["to_k"], bias=False)
+        v = _dense(src, a2["to_v"], bias=False)
+    h = h + _dense(
+        multi_head_attention(_dense(z, a2["to_q"], bias=False), k, v, heads),
+        a2["to_out"])
+    z = _ln_tree(h, blk["norm3"])
+    g = _dense(z, blk["ff"]["proj_in"])
+    xh, gate = jnp.split(g, 2, axis=-1)
+    act = (xh.astype(jnp.float32) *
+           _gelu_exact(gate.astype(jnp.float32))).astype(comp)
+    return h + _dense(act, blk["ff"]["proj_out"])
+
+
+def transformer_block_reference(
+    x_tokens: jax.Array,
+    p: Dict,
+    heads: int,
+    context: Optional[jax.Array] = None,
+    kv=None,
+    gn_eps: float = 1e-6,
+    use_flash: bool = False,
+) -> jax.Array:
+    """jnp twin: identical math on any backend (it IS the reference
+    SpatialTransformer graph, attention.py:218-261). Serves as the XLA
+    fallback forward and the fused kernel's VJP-recompute backward.
+
+    `kv` is a (k, v) tuple for block_0 or a {block_i: (k, v)} dict.
+    """
+    from upgpt_tpu.ops.basic import group_norm
+
+    comp = x_tokens.dtype
+    h = group_norm(x_tokens, p["norm"]["scale"], p["norm"]["bias"],
+                   num_groups=32, eps=gn_eps)
+    h = _dense(h.astype(comp), p["proj_in"])
+    names = sorted((k for k in p if k.startswith("block_")),
+                   key=lambda s: int(s.split("_")[1]))
+    for name in names:
+        if isinstance(kv, dict):
+            blk_kv = kv.get(name)
+        else:
+            blk_kv = kv if name == "block_0" else None
+        h = _basic_block_ref(h, p[name], heads, context, blk_kv, use_flash)
+    return _dense(h, p["proj_out"]) + x_tokens
+
+
+# ---------------------------------------------------------------- wrapper
+
+
+def fused_transformer_qualifies(t: int, c: int, heads: int, tk: int,
+                                depth: int = 1) -> bool:
+    """VMEM-feasibility gate: ds1/ds2 of the 256px nets qualify; the 896ch
+    mid level (13 MB of FF weights alone) and T>1024 fall back to XLA."""
+    if depth != 1 or c % heads or c % 32 or heads * (c // heads) != c:
+        return False
+    if t > 1024 or c > 512 or t % 8:
+        return False
+    weights = (6 * c * c + 2 * 8 * c * c + c * c) * 2  # qkv/o x2 + ff + proj
+    work = 5 * t * c * 4 + t * t * 4 + min(t, 256) * 8 * c * 4
+    return weights + work <= _VMEM_BUDGET
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 5, 6))
+def fused_transformer_block(x_tokens, p, heads, context=None, kv=None,
+                            gn_eps: float = 1e-6, use_flash: bool = False):
+    """(B, T, C) tokens -> (B, T, C): the full SpatialTransformer block."""
+    return _fused_forward(x_tokens, p, heads, context, kv, gn_eps)
+
+
+def _fused_fwd(x_tokens, p, heads, context, kv, gn_eps, use_flash):
+    out = _fused_forward(x_tokens, p, heads, context, kv, gn_eps)
+    return out, (x_tokens, p, context, kv)
+
+
+def _fused_bwd(heads, gn_eps, use_flash, res, g):
+    x_tokens, p, context, kv = res
+
+    def f(x_, p_, c_, kv_):
+        return transformer_block_reference(
+            x_, p_, heads, c_, kv_, gn_eps, use_flash=use_flash)
+
+    _, vjp = jax.vjp(f, x_tokens, p, context, kv)
+    return vjp(g)
+
+
+fused_transformer_block.defvjp(_fused_fwd, _fused_bwd)
+
+
+def _fused_forward(x_tokens, p, heads, context, kv, gn_eps):
+    b, t, c = x_tokens.shape
+    dh = c // heads
+    comp = x_tokens.dtype
+    blk = p["block_0"]
+    a1, a2, ff = blk["attn1"], blk["attn2"], blk["ff"]
+
+    def w(tree):
+        return tree["kernel"].astype(comp)
+
+    def bvec(tree):
+        return tree["bias"].astype(jnp.float32).reshape(1, -1)
+
+    def svec(tree, key):
+        return tree[key].astype(jnp.float32).reshape(1, -1)
+
+    kv_pre = kv is not None
+    extra_inputs, extra_specs = [], []
+    if kv_pre:
+        ck, cv = kv
+        tk = ck.shape[1]
+        # (B, Tk, H*Dh) -> (B, H, Tk, Dh): tiny, loop-invariant under the
+        # sampler's scan (kv comes from precompute_cross_kv)
+        ck_in = ck.reshape(b, tk, heads, dh).transpose(0, 2, 1, 3).astype(comp)
+        cv_in = cv.reshape(b, tk, heads, dh).transpose(0, 2, 1, 3).astype(comp)
+    else:
+        assert context is not None, "fused path needs context or kv"
+        tk = context.shape[1]
+        ck_in = context.astype(comp)
+        cv_in = jnp.zeros((b, 8, 8), comp)  # unused placeholder
+        extra_inputs = [
+            _split_heads_kernel(w(a2["to_k"]), heads),
+            _split_heads_kernel(w(a2["to_v"]), heads),
+        ]
+
+    rep = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                     memory_space=pltpu.VMEM)
+    per_b = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda i: (i,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM)
+    if not kv_pre:
+        extra_specs = [rep(tuple(a.shape)) for a in extra_inputs]
+
+    w1k = ff["proj_in"]["kernel"]
+    w2k = ff["proj_out"]["kernel"]
+    inputs = [
+        x_tokens, jnp.asarray(_group_matrix(c, 32)),
+        svec(p["norm"], "scale"), svec(p["norm"], "bias"),
+        w(p["proj_in"]), bvec(p["proj_in"]),
+        svec(blk["norm1"], "scale"), svec(blk["norm1"], "bias"),
+        _split_heads_kernel(w(a1["to_q"]), heads),
+        _split_heads_kernel(w(a1["to_k"]), heads),
+        _split_heads_kernel(w(a1["to_v"]), heads),
+        _split_heads_out(w(a1["to_out"]), heads), bvec(a1["to_out"]),
+        svec(blk["norm2"], "scale"), svec(blk["norm2"], "bias"),
+        _split_heads_kernel(w(a2["to_q"]), heads),
+        ck_in, cv_in,
+        _split_heads_out(w(a2["to_out"]), heads), bvec(a2["to_out"]),
+        svec(blk["norm3"], "scale"), svec(blk["norm3"], "bias"),
+        w1k.astype(comp), bvec(ff["proj_in"]),
+        w2k.astype(comp), bvec(ff["proj_out"]),
+        w(p["proj_out"]), bvec(p["proj_out"]),
+    ] + extra_inputs
+    in_specs = [
+        per_b((t, c)), rep((c, 32)),
+        rep((1, c)), rep((1, c)),
+        rep((c, c)), rep((1, c)),
+        rep((1, c)), rep((1, c)),
+        rep((heads, c, dh)), rep((heads, c, dh)), rep((heads, c, dh)),
+        rep((heads, dh, c)), rep((1, c)),
+        rep((1, c)), rep((1, c)),
+        rep((heads, c, dh)),
+        per_b(tuple(ck_in.shape[1:])), per_b(tuple(cv_in.shape[1:])),
+        rep((heads, dh, c)), rep((1, c)),
+        rep((1, c)), rep((1, c)),
+        rep(tuple(w1k.shape)), rep((1, w1k.shape[-1])),
+        rep(tuple(w2k.shape)), rep((1, c)),
+        rep((c, c)), rep((1, c)),
+    ] + extra_specs
+
+    # tile FF only when the f32 intermediate would exceed ~6 MB
+    ff_tile = t if t * 8 * c * 4 <= 6 * 1024 * 1024 else min(t, 256)
+    kernel = functools.partial(
+        _block_kernel, heads=heads, scale=1.0 / math.sqrt(dh),
+        gn_eps=gn_eps, cnt=float(t * (c // 32)), kv_precomputed=kv_pre,
+        ff_tile=ff_tile,
+    )
+    flops = (4 * b * heads * t * (t + tk) * dh
+             + 2 * b * t * c * (2 * c + 12 * c))
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, t, c), comp),
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=per_b((t, c)),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * b * t * c * x_tokens.dtype.itemsize,
+            transcendentals=b * heads * t * (t + tk) + 4 * b * t * c,
+        ),
+    )(*inputs)

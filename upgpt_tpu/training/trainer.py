@@ -141,13 +141,30 @@ class Trainer:
             payload["frozen"] = frozen
         return payload
 
-    def save_checkpoint(self, state: TrainState, frozen, name: str = "last") -> None:
+    def save_checkpoint(self, state: TrainState, frozen, name: str = "last",
+                        epoch: Optional[int] = None) -> None:
         path = (self.logdir / "checkpoints" / name).absolute()
         ckpt = self._checkpointer()
         ckpt.save(
             path, jax.device_get(self._payload(state, frozen)), force=True
         )
         ckpt.wait_until_finished()  # StandardCheckpointer saves async
+        if epoch is not None:
+            # sidecar epoch record: deriving the epoch from step//len(loader)
+            # breaks after a batch-size or dataset change (Lightning restores
+            # the epoch counter from the ckpt; so do we)
+            import json as _json
+
+            meta = self.logdir / "checkpoints" / f"{name}.meta.json"
+            meta.write_text(_json.dumps({"epoch": int(epoch)}))
+
+    def _load_epoch_meta(self, name: str = "last") -> Optional[int]:
+        import json as _json
+
+        meta = self.logdir / "checkpoints" / f"{name}.meta.json"
+        if meta.exists():
+            return int(_json.loads(meta.read_text()).get("epoch"))
+        return None
 
     def load_checkpoint(self, state: TrainState, frozen=None, name: str = "last"):
         """Restore into the live state's pytree structure (optax NamedTuples
@@ -312,9 +329,13 @@ class Trainer:
             sanity = self._eval_step(state, frozen_params, sb, rng)
             self._log({"step": 0, "sanity": 1,
                        **{f"val/{k}": v for k, v in sanity.items()}})
-        # resume semantics: skip epochs already completed (Lightning restores
-        # the epoch counter from the ckpt; we derive it from the step count)
-        start_epoch = int(state.step) // max(len(train_loader), 1)
+        # resume semantics: the epoch counter travels with the checkpoint
+        # (sidecar meta); step-count derivation is only the legacy fallback
+        start_epoch = 0
+        if resume:
+            meta_epoch = self._load_epoch_meta()
+            start_epoch = (meta_epoch if meta_epoch is not None
+                           else int(state.step) // max(len(train_loader), 1))
         try:
             step = int(state.step)
             for epoch in range(start_epoch, cfg.max_epochs):
@@ -360,10 +381,12 @@ class Trainer:
                     if monitored < best:
                         best = monitored
                         bad_epochs = 0
-                        self.save_checkpoint(state, frozen_params, "best")
+                        self.save_checkpoint(state, frozen_params, "best",
+                                             epoch=epoch + 1)
                     else:
                         bad_epochs += 1
-                self.save_checkpoint(state, frozen_params, "last")
+                self.save_checkpoint(state, frozen_params, "last",
+                                     epoch=epoch + 1)
                 if stop:
                     break
                 if (cfg.early_stop_patience is not None and val_loader is not None
@@ -372,7 +395,8 @@ class Trainer:
                           f"(no {cfg.monitor} improvement for {bad_epochs} epochs)")
                     break
         except BaseException:
-            # save-on-exception (main.py:792-796)
-            self.save_checkpoint(state, frozen_params, "last")
+            # save-on-exception (main.py:792-796); redo the interrupted epoch
+            self.save_checkpoint(state, frozen_params, "last",
+                                 epoch=locals().get("epoch", start_epoch))
             raise
         return state
