@@ -58,14 +58,18 @@ def test_fusion_in_train_step_gets_gradients():
 
     state = create_train_state(params, 1e-3, use_ema=False)
     batch = tiny_batch(b=2)
-    # NOTE: at init the SpatialTransformer's zero-init proj_out (reference
-    # zero_module, attention.py:254) blocks ALL gradients into the context —
-    # same as torch. Step once to move proj_out, then measure fusion grads.
+    # NOTE: TWO zero-inits chain at init (same as torch): the U-Net's final
+    # out-conv (openaimodel.py zero_module) blocks grads into everything
+    # inside the net, so the SpatialTransformer's zero-init proj_out
+    # (attention.py:254) itself gets zero grad on step 1 and stays zero.
+    # Step 1 moves the out-conv; step 2 moves proj_out; only then can
+    # gradients reach the context (and the fusion/pose stages).
     step = jax.jit(
         lambda s, f, b: train_step(model, s, f, b, jax.random.PRNGKey(1))
     )
-    state, metrics = step(state, frozen, batch)
-    assert np.isfinite(float(metrics["loss"]))
+    for _ in range(2):
+        state, metrics = step(state, frozen, batch)
+        assert np.isfinite(float(metrics["loss"]))
 
     import optax
 

@@ -12,13 +12,17 @@ inside VMEM — tokens leave HBM once and return once:
     LN3 -> GEGLU FF] -> zero-init proj_out -> + residual
 
 matching reference attention.py:218-261 / 196-215 exactly (fp32 GN/LN/
-softmax islands, exact-erf GELU, per-head scale 1/sqrt(d)). Heads never
-transpose: per-head weight slices are pre-split host-side into (H, C, Dh),
-so every in-kernel matmul is lane-contiguous.
+softmax islands, exact-erf GELU, per-head scale 1/sqrt(d)). Projections run
+FULL-WIDTH — Q/K/V/out as (C, C) matmuls, so the MXU lane dim is C (224/448)
+instead of head_dim (28/56) — and only the score/value contractions are
+per-head, on lane slices of the packed (T, C) activations. Measured on v5e
+(benchmarks/micro_block.py, batch 32, T=768, C=224): fullwidth self-attn
+0.32 ms vs 1.60 ms for the per-head pre-split variant this replaces.
 
-Cross-attention K/V arrive precomputed per head (the sampler hoists those
-projections out of the DDIM scan via precompute_cross_kv); when absent
-(training), the raw context enters and K/V are projected in-kernel.
+Cross-attention K/V arrive packed (B, Tk, C), precomputed once per sample
+(the sampler hoists those projections out of the DDIM scan via
+precompute_cross_kv); when absent (training), the raw context enters and
+K/V are projected in-kernel.
 
 Differentiable via custom VJP: Pallas forward, XLA-recompute backward
 through the jnp twin (`transformer_block_reference`) — identical math.
@@ -131,22 +135,27 @@ def _block_kernel(
         # XLA twin: bf16 residual stream, fp32 normalization statistics)
         return _ln_f32(z.astype(jnp.float32), s_[...], b_[...]).astype(comp)
 
-    def attention(a, wq_r, get_kv, wo_r, bo_r, base):
-        acc = bo_r[...] + base.astype(jnp.float32)
+    dh = c // heads
+
+    def attention(a, wq_full, k_all, v_all, wo_full, bo_r, base):
+        # q/k/v packed (T|Tk, C); per-head score/value contractions on lane
+        # slices — the only matmuls whose MXU occupancy head_dim caps.
+        q_all = mm(a, wq_full[...]).astype(comp)
+        outs = []
         for hh in range(heads):
-            q = mm(a, wq_r[hh]).astype(comp)
-            k, v = get_kv(hh, a)
+            lo = hh * dh
             s = jax.lax.dot_general(
-                q, k.astype(comp),
+                q_all[:, lo:lo + dh], k_all[:, lo:lo + dh],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale
             p = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
             p = (p * pl.reciprocal(
                 jnp.sum(p, axis=-1, keepdims=True))).astype(comp)
-            o = jnp.dot(p, v.astype(comp),
-                        preferred_element_type=jnp.float32).astype(comp)
-            acc = acc + mm(o, wo_r[hh])
+            outs.append(jnp.dot(p, v_all[:, lo:lo + dh],
+                                preferred_element_type=jnp.float32))
+        o = jnp.concatenate(outs, axis=-1).astype(comp)
+        acc = mm(o, wo_full[...]) + bo_r[...] + base.astype(jnp.float32)
         return acc.astype(comp)
 
     # --- proj_in ---
@@ -154,19 +163,18 @@ def _block_kernel(
 
     # --- self-attention ---
     a = ln_c(h, ln1_s, ln1_b)
-    h = attention(
-        a, wq, lambda hh, a_: (mm(a_, wk[hh]).astype(comp),
-                               mm(a_, wv[hh]).astype(comp)), wo, bo, h)
+    h = attention(a, wq, mm(a, wk[...]).astype(comp),
+                  mm(a, wv[...]).astype(comp), wo, bo, h)
 
     # --- cross-attention ---
     a = ln_c(h, ln2_s, ln2_b)
     if kv_precomputed:
-        get_kv = lambda hh, a_: (ck_ref[0, hh], cv_ref[0, hh])
+        k_all, v_all = ck_ref[0], cv_ref[0]
     else:
         ctx = ck_ref[0]
-        get_kv = lambda hh, a_: (mm(ctx, wk2_ref[hh]).astype(comp),
-                                 mm(ctx, wv2_ref[hh]).astype(comp))
-    h = attention(a, wq2, get_kv, wo2, bo2, h)
+        k_all = mm(ctx, wk2_ref[...]).astype(comp)
+        v_all = mm(ctx, wv2_ref[...]).astype(comp)
+    h = attention(a, wq2, k_all, v_all, wo2, bo2, h)
 
     # --- GEGLU FF (T-tiled only when the (T, 8C) intermediate is large) ---
     a = ln_c(h, ln3_s, ln3_b)
@@ -329,19 +337,16 @@ def _fused_forward(x_tokens, p, heads, context, kv, gn_eps):
     if kv_pre:
         ck, cv = kv
         tk = ck.shape[1]
-        # (B, Tk, H*Dh) -> (B, H, Tk, Dh): tiny, loop-invariant under the
-        # sampler's scan (kv comes from precompute_cross_kv)
-        ck_in = ck.reshape(b, tk, heads, dh).transpose(0, 2, 1, 3).astype(comp)
-        cv_in = cv.reshape(b, tk, heads, dh).transpose(0, 2, 1, 3).astype(comp)
+        # packed (B, Tk, C) straight from precompute_cross_kv: the kernel
+        # slices per-head lanes, no head transpose anywhere
+        ck_in = ck.astype(comp)
+        cv_in = cv.astype(comp)
     else:
         assert context is not None, "fused path needs context or kv"
         tk = context.shape[1]
         ck_in = context.astype(comp)
         cv_in = jnp.zeros((b, 8, 8), comp)  # unused placeholder
-        extra_inputs = [
-            _split_heads_kernel(w(a2["to_k"]), heads),
-            _split_heads_kernel(w(a2["to_v"]), heads),
-        ]
+        extra_inputs = [w(a2["to_k"]), w(a2["to_v"])]
 
     rep = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                      memory_space=pltpu.VMEM)
@@ -358,14 +363,12 @@ def _fused_forward(x_tokens, p, heads, context, kv, gn_eps):
         svec(p["norm"], "scale"), svec(p["norm"], "bias"),
         w(p["proj_in"]), bvec(p["proj_in"]),
         svec(blk["norm1"], "scale"), svec(blk["norm1"], "bias"),
-        _split_heads_kernel(w(a1["to_q"]), heads),
-        _split_heads_kernel(w(a1["to_k"]), heads),
-        _split_heads_kernel(w(a1["to_v"]), heads),
-        _split_heads_out(w(a1["to_out"]), heads), bvec(a1["to_out"]),
+        w(a1["to_q"]), w(a1["to_k"]), w(a1["to_v"]),
+        w(a1["to_out"]), bvec(a1["to_out"]),
         svec(blk["norm2"], "scale"), svec(blk["norm2"], "bias"),
-        _split_heads_kernel(w(a2["to_q"]), heads),
+        w(a2["to_q"]),
         ck_in, cv_in,
-        _split_heads_out(w(a2["to_out"]), heads), bvec(a2["to_out"]),
+        w(a2["to_out"]), bvec(a2["to_out"]),
         svec(blk["norm3"], "scale"), svec(blk["norm3"], "bias"),
         w1k.astype(comp), bvec(ff["proj_in"]),
         w2k.astype(comp), bvec(ff["proj_out"]),
@@ -376,12 +379,12 @@ def _fused_forward(x_tokens, p, heads, context, kv, gn_eps):
         rep((1, c)), rep((1, c)),
         rep((c, c)), rep((1, c)),
         rep((1, c)), rep((1, c)),
-        rep((heads, c, dh)), rep((heads, c, dh)), rep((heads, c, dh)),
-        rep((heads, dh, c)), rep((1, c)),
+        rep((c, c)), rep((c, c)), rep((c, c)),
+        rep((c, c)), rep((1, c)),
         rep((1, c)), rep((1, c)),
-        rep((heads, c, dh)),
+        rep((c, c)),
         per_b(tuple(ck_in.shape[1:])), per_b(tuple(cv_in.shape[1:])),
-        rep((heads, dh, c)), rep((1, c)),
+        rep((c, c)), rep((1, c)),
         rep((1, c)), rep((1, c)),
         rep(tuple(w1k.shape)), rep((1, w1k.shape[-1])),
         rep(tuple(w2k.shape)), rep((1, c)),
