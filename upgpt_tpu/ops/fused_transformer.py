@@ -140,7 +140,8 @@ def _block_kernel(
     def attention(a, wq_full, k_all, v_all, wo_full, bo_r, base):
         # q/k/v packed (T|Tk, C); per-head score/value contractions on lane
         # slices — the only matmuls whose MXU occupancy head_dim caps.
-        q_all = mm(a, wq_full[...]).astype(comp)
+        # 1/sqrt(d) folded into q: one (T, C) fp32 mul instead of H (T, Tk)
+        q_all = (mm(a, wq_full[...]) * scale).astype(comp)
         outs = []
         for hh in range(heads):
             lo = hh * dh
@@ -148,7 +149,7 @@ def _block_kernel(
                 q_all[:, lo:lo + dh], k_all[:, lo:lo + dh],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * scale
+            )
             p = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
             p = (p * pl.reciprocal(
                 jnp.sum(p, axis=-1, keepdims=True))).astype(comp)
