@@ -74,3 +74,41 @@ def test_fused_gn_gradients_match_reference():
     for a, b_ in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("shape", [(2, 64, 48, 128), (1, 32, 24, 256)])
+def test_tiled_gn_matches_reference(shape):
+    """Decode-size tensors route to the row-tiled stats kernel; numerics
+    must match the jnp GroupNorm exactly (same fp32 statistics)."""
+    from upgpt_tpu.ops.fused_gn import (
+        _tiled_gn_forward, tiled_group_norm_qualifies,
+    )
+
+    assert tiled_group_norm_qualifies(shape, 32)
+    rng = np.random.default_rng(5)
+    c = shape[-1]
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32)) * 2.0 + 0.3
+    scale = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        got = _tiled_gn_forward(x, scale, bias, 32, 1e-6, True)
+    want = silu(group_norm(x, scale, bias, num_groups=32, eps=1e-6))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_tiled_gn_dispatch_from_fused_entry():
+    """fused_group_norm auto-routes oversize shapes to the tiled kernel."""
+    from upgpt_tpu.ops.fused_gn import fused_group_norm_qualifies
+
+    shape = (1, 256, 192, 128)  # decode-level: fails the one-pass gate
+    assert not fused_group_norm_qualifies(shape, 32)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    scale = jnp.ones((128,), jnp.float32)
+    bias = jnp.zeros((128,), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_group_norm(x, scale, bias, 32, 1e-6, False)
+    want = group_norm(x, scale, bias, num_groups=32, eps=1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)

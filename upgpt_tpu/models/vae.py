@@ -49,6 +49,7 @@ class AutoencoderConfig:
     resolution: int = 256
     dropout: float = 0.0
     use_flash_attention: bool = False
+    use_fused_groupnorm: bool = False  # Pallas GN stats (TPU serving path)
     dtype: Dtype = jnp.float32
 
     @classmethod
@@ -62,13 +63,32 @@ class AutoencoderConfig:
 
 
 class VAEGroupNorm(nn.Module):
+    """GN(32, eps 1e-6), optional fused SiLU; Pallas kernels when `fused`.
+
+    Decode-resolution tensors route to the tiled-stats kernel (one bf16
+    pass for statistics instead of XLA's fp32 convert_reduce chain);
+    latent-resolution tensors use the one-pass per-image kernel."""
+
     channels: int
+    fused: bool = False
+    with_silu: bool = False
 
     @nn.compact
     def __call__(self, x):
         scale = self.param("scale", nn.initializers.ones, (self.channels,))
         bias = self.param("bias", nn.initializers.zeros, (self.channels,))
-        return group_norm(x, scale, bias, num_groups=32, eps=1e-6)
+        if self.fused and x.ndim == 4:
+            from upgpt_tpu.ops.fused_gn import (
+                fused_group_norm, fused_group_norm_qualifies,
+                tiled_group_norm_qualifies,
+            )
+
+            if (fused_group_norm_qualifies(x.shape, 32)
+                    or tiled_group_norm_qualifies(x.shape, 32)):
+                return fused_group_norm(
+                    x, scale, bias, 32, 1e-6, self.with_silu)
+        out = group_norm(x, scale, bias, num_groups=32, eps=1e-6)
+        return silu(out) if self.with_silu else out
 
 
 class ResnetBlock(nn.Module):
@@ -81,15 +101,15 @@ class ResnetBlock(nn.Module):
     out_channels: int
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
+    fused_gn: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         in_ch = x.shape[-1]
-        h = VAEGroupNorm(in_ch, name="norm1")(x)
-        h = silu(h)
+        h = VAEGroupNorm(in_ch, self.fused_gn, with_silu=True, name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
-        h = VAEGroupNorm(self.out_channels, name="norm2")(h)
-        h = silu(h)
+        h = VAEGroupNorm(self.out_channels, self.fused_gn, with_silu=True,
+                         name="norm2")(h)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
@@ -108,11 +128,12 @@ class AttnBlock(nn.Module):
     channels: int
     dtype: Dtype = jnp.float32
     use_flash: bool = False
+    fused_gn: bool = False
 
     @nn.compact
     def __call__(self, x):
         b, hh, ww, c = x.shape
-        h = VAEGroupNorm(c, name="norm")(x)
+        h = VAEGroupNorm(c, self.fused_gn, name="norm")(x)
         q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(h).reshape(b, hh * ww, c)
         k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(h).reshape(b, hh * ww, c)
         v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(h).reshape(b, hh * ww, c)
@@ -163,23 +184,28 @@ class Encoder(nn.Module):
             block_out = cfg.ch * mult
             for i_block in range(cfg.num_res_blocks):
                 h = ResnetBlock(
-                    block_out, cfg.dropout, comp, name=f"down_{i_level}_block_{i_block}"
+                    block_out, cfg.dropout, comp, cfg.use_fused_groupnorm,
+                    name=f"down_{i_level}_block_{i_block}"
                 )(h, deterministic=deterministic)
                 if curr_res in cfg.attn_resolutions:
-                    h = AttnBlock(block_out, comp, cfg.use_flash_attention, name=f"down_{i_level}_attn_{i_block}")(h)
+                    h = AttnBlock(block_out, comp, cfg.use_flash_attention,
+                                  cfg.use_fused_groupnorm, name=f"down_{i_level}_attn_{i_block}")(h)
             if i_level != num_res - 1:
                 h = Downsample(block_out, comp, name=f"down_{i_level}_downsample")(h)
                 curr_res //= 2
         ch_mid = cfg.ch * cfg.ch_mult[-1]
-        h = ResnetBlock(ch_mid, cfg.dropout, comp, name="mid_block_1")(
+        h = ResnetBlock(ch_mid, cfg.dropout, comp, cfg.use_fused_groupnorm,
+                        name="mid_block_1")(
             h, deterministic=deterministic
         )
-        h = AttnBlock(ch_mid, comp, cfg.use_flash_attention, name="mid_attn_1")(h)
-        h = ResnetBlock(ch_mid, cfg.dropout, comp, name="mid_block_2")(
+        h = AttnBlock(ch_mid, comp, cfg.use_flash_attention,
+                      cfg.use_fused_groupnorm, name="mid_attn_1")(h)
+        h = ResnetBlock(ch_mid, cfg.dropout, comp, cfg.use_fused_groupnorm,
+                        name="mid_block_2")(
             h, deterministic=deterministic
         )
-        h = VAEGroupNorm(ch_mid, name="norm_out")(h)
-        h = silu(h)
+        h = VAEGroupNorm(ch_mid, cfg.use_fused_groupnorm, with_silu=True,
+                         name="norm_out")(h)
         out_ch = 2 * cfg.z_channels if cfg.double_z else cfg.z_channels
         h = nn.Conv(out_ch, (3, 3), padding=1, dtype=comp, name="conv_out")(h)
         return h.astype(jnp.float32)
@@ -199,11 +225,14 @@ class Decoder(nn.Module):
         h = nn.Conv(block_in, (3, 3), padding=1, dtype=comp, name="conv_in")(
             z.astype(comp)
         )
-        h = ResnetBlock(block_in, cfg.dropout, comp, name="mid_block_1")(
+        h = ResnetBlock(block_in, cfg.dropout, comp, cfg.use_fused_groupnorm,
+                        name="mid_block_1")(
             h, deterministic=deterministic
         )
-        h = AttnBlock(block_in, comp, cfg.use_flash_attention, name="mid_attn_1")(h)
-        h = ResnetBlock(block_in, cfg.dropout, comp, name="mid_block_2")(
+        h = AttnBlock(block_in, comp, cfg.use_flash_attention,
+                      cfg.use_fused_groupnorm, name="mid_attn_1")(h)
+        h = ResnetBlock(block_in, cfg.dropout, comp, cfg.use_fused_groupnorm,
+                        name="mid_block_2")(
             h, deterministic=deterministic
         )
         curr_res = cfg.resolution // 2 ** (num_res - 1)
@@ -211,15 +240,17 @@ class Decoder(nn.Module):
             block_out = cfg.ch * cfg.ch_mult[i_level]
             for i_block in range(cfg.num_res_blocks + 1):
                 h = ResnetBlock(
-                    block_out, cfg.dropout, comp, name=f"up_{i_level}_block_{i_block}"
+                    block_out, cfg.dropout, comp, cfg.use_fused_groupnorm,
+                    name=f"up_{i_level}_block_{i_block}"
                 )(h, deterministic=deterministic)
                 if curr_res in cfg.attn_resolutions:
-                    h = AttnBlock(block_out, comp, cfg.use_flash_attention, name=f"up_{i_level}_attn_{i_block}")(h)
+                    h = AttnBlock(block_out, comp, cfg.use_flash_attention,
+                                  cfg.use_fused_groupnorm, name=f"up_{i_level}_attn_{i_block}")(h)
             if i_level != 0:
                 h = Upsample(block_out, comp, name=f"up_{i_level}_upsample")(h)
                 curr_res *= 2
-        h = VAEGroupNorm(h.shape[-1], name="norm_out")(h)
-        h = silu(h)
+        h = VAEGroupNorm(h.shape[-1], cfg.use_fused_groupnorm, with_silu=True,
+                         name="norm_out")(h)
         h = nn.Conv(cfg.out_ch, (3, 3), padding=1, dtype=comp, name="conv_out")(h)
         return h.astype(jnp.float32)
 

