@@ -20,15 +20,21 @@ best-of reflects machine capability. Every run is fenced by a host transfer
 
 vs_baseline: the reference publishes no numbers (BASELINE.md), so the A100
 PyTorch baseline is estimated analytically, generously for the reference:
-- U-Net forward ~33 GFLOP/image at 32x24 latent (hand count over the conv
-  plan: ~0.69 GF per 3x3 conv at every level's (spatial x ch^2) product,
-  ~40 convs + attention + projections; XLA's cost_analysis is NOT used — it
-  omits convolutions on this backend and reports ~3x too low).
-- DDIM-50 + kl-f8 decode (~0.4 TF) => ~2.05 TF/image end-to-end.
+- U-Net forward = 65.5 GFLOP/image at 32x24 latent, from the exact module
+  walk in benchmarks/flop_count.py (round 1 hand-counted ~33 GF by pricing
+  every conv at the down-path 0.69 GF; the up path's skip-concat convs run
+  at 2-3x that input width, and the 11 SpatialTransformers add ~17 GF).
+  XLA's cost_analysis is NOT used — it omits convolutions on this backend.
+- DDIM-50 + kl-f8 decode (~0.4 TF) => ~3.68 TF/image end-to-end.
 - A100 eager torch 1.11 fp32/TF32: 156 TFLOP/s TF32 peak x 25% MFU — well
   above typical eager-mode efficiency at these small spatial dims, so the
   reported ratio understates the true advantage.
-=> reference estimate = 39 TFLOP/s / 2.05 TF = ~19 img/s.
+=> reference estimate = 39 TFLOP/s / 3.68 TF = ~10.6 img/s.
+
+Same-arithmetic sanity bound: 3.68 TF/image on one v5e (197 TF/s bf16 peak)
+puts THIS chip's 100%-MFU speed-of-light at ~54 img/s — the physical
+ceiling for this protocol; any higher number on one chip means fewer FLOPs,
+not better execution.
 """
 
 import json
@@ -37,7 +43,7 @@ import time
 
 import numpy as np
 
-UNET_GFLOP_PER_IMAGE_STEP = 33.0
+UNET_GFLOP_PER_IMAGE_STEP = 65.5  # benchmarks/flop_count.py
 DECODE_GFLOP_PER_IMAGE = 400.0
 A100_EFFECTIVE_FLOPS = 156e12 * 0.25
 

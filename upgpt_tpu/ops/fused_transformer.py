@@ -97,7 +97,7 @@ def _gelu_kernel(z):
 def _block_kernel(
     x_ref, m_ref,
     gn_s, gn_b, wpi, bpi,
-    ln1_s, ln1_b, wq, wk, wv, wo, bo,
+    ln1_s, ln1_b, wq, wo, bo,
     ln2_s, ln2_b, wq2, ck_ref, cv_ref, wo2, bo2,
     ln3_s, ln3_b, w1, b1, w2, b2,
     wpo, bpo,
@@ -137,11 +137,9 @@ def _block_kernel(
 
     dh = c // heads
 
-    def attention(a, wq_full, k_all, v_all, wo_full, bo_r, base):
+    def attention(q_all, k_all, v_all, wo_full, bo_r, base):
         # q/k/v packed (T|Tk, C); per-head score/value contractions on lane
         # slices — the only matmuls whose MXU occupancy head_dim caps.
-        # 1/sqrt(d) folded into q: one (T, C) fp32 mul instead of H (T, Tk)
-        q_all = (mm(a, wq_full[...]) * scale).astype(comp)
         outs = []
         for hh in range(heads):
             lo = hh * dh
@@ -162,10 +160,13 @@ def _block_kernel(
     # --- proj_in ---
     h = (mm(gn, wpi[...]) + bpi[...]).astype(comp)
 
-    # --- self-attention ---
+    # --- self-attention (q/k/v via ONE (C, 3C) matmul; 1/sqrt(d) folded
+    # into q: one (T, C) fp32 mul instead of H (T, Tk) muls) ---
     a = ln_c(h, ln1_s, ln1_b)
-    h = attention(a, wq, mm(a, wk[...]).astype(comp),
-                  mm(a, wv[...]).astype(comp), wo, bo, h)
+    qkv = mm(a, wq[...])  # wq carries packed [Wq|Wk|Wv], (C, 3C)
+    h = attention((qkv[:, :c] * scale).astype(comp),
+                  qkv[:, c:2 * c].astype(comp),
+                  qkv[:, 2 * c:].astype(comp), wo, bo, h)
 
     # --- cross-attention ---
     a = ln_c(h, ln2_s, ln2_b)
@@ -175,7 +176,8 @@ def _block_kernel(
         ctx = ck_ref[0]
         k_all = mm(ctx, wk2_ref[...]).astype(comp)
         v_all = mm(ctx, wv2_ref[...]).astype(comp)
-    h = attention(a, wq2, k_all, v_all, wo2, bo2, h)
+    h = attention((mm(a, wq2[...]) * scale).astype(comp),
+                  k_all, v_all, wo2, bo2, h)
 
     # --- GEGLU FF (T-tiled only when the (T, 8C) intermediate is large) ---
     a = ln_c(h, ln3_s, ln3_b)
@@ -364,7 +366,8 @@ def _fused_forward(x_tokens, p, heads, context, kv, gn_eps):
         svec(p["norm"], "scale"), svec(p["norm"], "bias"),
         w(p["proj_in"]), bvec(p["proj_in"]),
         svec(blk["norm1"], "scale"), svec(blk["norm1"], "bias"),
-        w(a1["to_q"]), w(a1["to_k"]), w(a1["to_v"]),
+        jnp.concatenate(
+            [w(a1["to_q"]), w(a1["to_k"]), w(a1["to_v"])], axis=1),
         w(a1["to_out"]), bvec(a1["to_out"]),
         svec(blk["norm2"], "scale"), svec(blk["norm2"], "bias"),
         w(a2["to_q"]),
@@ -380,7 +383,7 @@ def _fused_forward(x_tokens, p, heads, context, kv, gn_eps):
         rep((1, c)), rep((1, c)),
         rep((c, c)), rep((1, c)),
         rep((1, c)), rep((1, c)),
-        rep((c, c)), rep((c, c)), rep((c, c)),
+        rep((c, 3 * c)),
         rep((c, c)), rep((1, c)),
         rep((1, c)), rep((1, c)),
         rep((c, c)),
