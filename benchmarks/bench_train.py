@@ -1,0 +1,91 @@
+"""Training-step throughput at the reference's production config.
+
+interp_256 geometry, batch 12 (bbox.yaml:99), bf16 compute, one chip:
+frozen kl-f8 VAE encode -> q_sample -> U-Net fwd+bwd -> AdamW -> EMA.
+Steps are chained through a lax.scan inside one jit so the axon tunnel's
+dispatch latency cancels (marginal-cost timing, same scheme as the micro
+benches). Pallas kernels (flash attention, fused GN, fused transformer) run
+in the forward; backwards are their XLA-recompute custom VJPs.
+
+Usage: python benchmarks/bench_train.py [batch] [remat]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from upgpt_tpu.diffusion.latent_diffusion import (
+        LatentDiffusion, LatentDiffusionConfig,
+    )
+    from upgpt_tpu.models.unet import UNetConfig
+    from upgpt_tpu.models.vae import AutoencoderConfig
+    from upgpt_tpu.training.train_state import create_train_state, train_step
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    remat = bool(int(sys.argv[2])) if len(sys.argv) > 2 else False
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    cfg = LatentDiffusionConfig.interp_256(
+        unet=UNetConfig.interp_256(
+            dtype=dtype, use_flash_attention=on_tpu,
+            use_fused_groupnorm=on_tpu, use_fused_transformer=on_tpu,
+            use_checkpoint=remat,
+        ),
+        vae=AutoencoderConfig.kl_f8(dtype=dtype, use_flash_attention=on_tpu),
+    )
+    model = LatentDiffusion(cfg)
+    params = jax.jit(model.init_params)(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    frozen = {"vae": params.pop("vae")}
+    state = create_train_state(params, learning_rate=2e-6, use_ema=True)
+
+    rng = np.random.default_rng(0)
+    h, w = cfg.latent_size
+    bt = {
+        "image": jnp.asarray(rng.normal(size=(batch, 256, 192, 3)) * 0.3,
+                             jnp.float32),
+        "person_mask": jnp.asarray(
+            rng.choice([-1.0, -0.99215686], size=(batch, h, w, 1)), jnp.float32),
+        "text_emb": jnp.asarray(rng.normal(size=(batch, 77, 768)), jnp.float32),
+        "style_emb": jnp.asarray(rng.normal(size=(batch, 9, 768)), jnp.float32),
+        "smpl": jnp.asarray(rng.normal(size=(batch, 1, 85)), jnp.float32),
+        "loss_w": jnp.ones((batch, h, w, 1), jnp.float32),
+    }
+    key = jax.random.PRNGKey(1)
+
+    # Real train-loop shape: sequential dependent steps, state donated so
+    # params/opt/EMA update in place; async dispatch pipelines host->device
+    # so per-step tunnel latency amortizes across the loop.
+    step_fn = jax.jit(
+        lambda s: train_step(model, s, frozen, bt, key), donate_argnums=0)
+
+    t0 = time.perf_counter()
+    state, metrics = step_fn(state)
+    loss0 = float(metrics["loss"])
+    print(f"compile+first: {time.perf_counter()-t0:.1f}s, loss {loss0:.4f}",
+          file=sys.stderr)
+
+    best = float("inf")
+    for _ in range(3):
+        n = 10
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, metrics = step_fn(state)
+        np.asarray(metrics["loss"])  # fence
+        best = min(best, (time.perf_counter() - t0) / n * 1000)
+    print(f"train batch={batch} remat={remat}: {best:.1f} ms/step, "
+          f"{batch / best * 1000:.1f} img/s")
+
+
+if __name__ == "__main__":
+    main()
