@@ -63,8 +63,10 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     m = jnp.max(scores, axis=-1, keepdims=True)
     p = jnp.exp(scores - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / denom).astype(v.dtype)
-    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    # deferred normalization: divide the (Bq, D) output, not the (Bq, T)
+    # probabilities — one VPU pass T/D x smaller
+    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = (o / denom).astype(o_ref.dtype)
 
 
 @jax.custom_vjp
@@ -118,10 +120,8 @@ def _attn_kernel_headloop(q_ref, k_ref, v_ref, o_ref, *, scale: float,
         m = jnp.max(scores, axis=-1, keepdims=True)
         p = jnp.exp(scores - m)
         denom = jnp.sum(p, axis=-1, keepdims=True)
-        p = (p / denom).astype(v.dtype)
-        o_ref[0, hh] = jnp.dot(
-            p, v, preferred_element_type=jnp.float32
-        ).astype(o_ref.dtype)
+        o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        o_ref[0, hh] = (o / denom).astype(o_ref.dtype)
 
 
 def _flash_forward_headloop(q, k, v, block_q: int) -> jax.Array:

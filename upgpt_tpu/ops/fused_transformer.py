@@ -149,10 +149,12 @@ def _block_kernel(
                 preferred_element_type=jnp.float32,
             )
             p = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
-            p = (p * pl.reciprocal(
-                jnp.sum(p, axis=-1, keepdims=True))).astype(comp)
-            outs.append(jnp.dot(p, v_all[:, lo:lo + dh],
-                                preferred_element_type=jnp.float32))
+            # deferred normalization: divide the (T, Dh) output instead of
+            # the (T, Tk) probabilities — one VPU pass Tk/Dh x smaller
+            o = jnp.dot(p.astype(comp), v_all[:, lo:lo + dh],
+                        preferred_element_type=jnp.float32)
+            outs.append(o * pl.reciprocal(
+                jnp.sum(p, axis=-1, keepdims=True)))
         o = jnp.concatenate(outs, axis=-1).astype(comp)
         acc = mm(o, wo_full[...]) + bo_r[...] + base.astype(jnp.float32)
         return acc.astype(comp)
