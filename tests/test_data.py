@@ -246,3 +246,90 @@ def test_prefetch_loader_propagates_errors():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="boom"):
         list(loader.epoch(0))
+
+
+def test_compact_dataset_is_exact(fashion_tree):
+    """compact=True emits uint8 tensors whose dequantized values match the
+    f32 pipeline exactly (uint8-sourced pixels; empty style slot = black =
+    normalize-exact zeros)."""
+    ds_f = _make(fashion_tree)
+    ds_c = _make(fashion_tree, compact=True)
+    a, b = ds_f[0], ds_c[0]
+    for k in ("image", "src_image", "smpl_image"):
+        assert b[k].dtype == np.uint8
+        np.testing.assert_array_equal(
+            b[k].astype(np.float32) / 127.5 - 1.0, a[k])
+    assert b["styles"].dtype == np.uint8
+    np.testing.assert_array_equal(
+        (b["styles"].astype(np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD,
+        a["styles"])
+    # non-image fields unchanged
+    np.testing.assert_array_equal(a["person_mask"], b["person_mask"])
+    np.testing.assert_array_equal(a["smpl"], b["smpl"])
+
+
+def test_clip_encoder_accepts_compact_styles(fashion_tree):
+    """The jitted CLIP style encoder dequantizes uint8 crops on device and
+    produces identical embeddings to the f32-normalized path."""
+    import jax
+    import jax.numpy as jnp
+    from upgpt_tpu.models.clip import CLIPVisionConfig, StyleImageEncoder
+    from upgpt_tpu.inference.encoders import _dequant_styles
+
+    cfg = CLIPVisionConfig(hidden_size=32, num_layers=1, num_heads=2,
+                           image_size=224, patch_size=56, projection_dim=16)
+    enc = StyleImageEncoder(cfg)
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, (2, 9, 224, 224, 3), np.uint8)
+    f32 = (u8.astype(np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
+    params = enc.init(jax.random.PRNGKey(0), jnp.asarray(f32))["params"]
+    out_f = enc.apply({"params": params}, jnp.asarray(f32))
+    out_u = enc.apply({"params": params}, _dequant_styles(jnp.asarray(u8)))
+    np.testing.assert_allclose(np.asarray(out_u), np.asarray(out_f),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_batch_transform_runs_in_producer(fashion_tree):
+    """batch_transform output (and ordering) matches serial transform; it
+    executes on the producer thread, not the consumer."""
+    import threading
+
+    from upgpt_tpu.data.deepfashion import DataLoader, PrefetchDataLoader
+
+    ds = _make(fashion_tree)
+    main_thread = threading.get_ident()
+    seen_threads = []
+
+    def tf(batch):
+        seen_threads.append(threading.get_ident())
+        return {"n": batch["image"].shape[0], "img": batch["image"]}
+
+    serial = DataLoader(ds, 2, batch_transform=tf)
+    pre = PrefetchDataLoader(ds, 2, batch_transform=tf)
+    a_batches = list(serial.epoch(3))
+    n_serial = len(seen_threads)
+    b_batches = list(pre.epoch(3))
+    assert len(a_batches) == len(b_batches)
+    for a, b in zip(a_batches, b_batches):
+        assert a["n"] == b["n"]
+        np.testing.assert_array_equal(a["img"], b["img"])
+    # the prefetch loader's transform calls happened off the main thread
+    assert all(t != main_thread for t in seen_threads[n_serial:])
+
+
+def test_process_loader_matches_serial(fashion_tree):
+    """ProcessDataLoader: same deterministic batches as DataLoader, worker
+    errors surface, pool survives multiple epochs."""
+    from upgpt_tpu.data.deepfashion import DataLoader, ProcessDataLoader
+
+    ds = _make(fashion_tree, compact=True)
+    serial = DataLoader(ds, 2)
+    proc = ProcessDataLoader(ds, 2, num_workers=2, prefetch_batches=2)
+    try:
+        for epoch in (0, 1):
+            for a, b in zip(serial.epoch(epoch), proc.epoch(epoch)):
+                assert a.keys() == b.keys()
+                np.testing.assert_array_equal(a["image"], b["image"])
+                np.testing.assert_array_equal(a["styles"], b["styles"])
+    finally:
+        proc.close()

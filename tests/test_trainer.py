@@ -122,3 +122,41 @@ def test_lr_scaling_rule():
     # main.py:748-767: accumulate * ngpu * bs * base
     assert scaled_learning_rate(2e-6, 12, 4, 2, True) == pytest.approx(2e-6 * 2 * 4 * 12)
     assert scaled_learning_rate(2e-6, 12, 4, 2, False) == 2e-6
+
+
+def test_compact_transport_exact_for_uint8_sourced_images():
+    """uint8 image transport must be bit-exact for pixels that came from
+    uint8 files (v/255*2-1 -> quantize -> dequantize is the identity), and
+    the -0.99215686 mask constant survives the round trip."""
+    import numpy as np
+    import jax.numpy as jnp
+    from upgpt_tpu.training.trainer import decode_transport, encode_transport
+
+    v = np.arange(256, dtype=np.float32) / 255.0 * 2.0 - 1.0
+    img = np.tile(v.reshape(1, 16, 16, 1), (2, 1, 1, 3)).astype(np.float32)
+    mask = np.full((2, 4, 4, 1), -0.99215686, np.float32)
+    emb = np.random.default_rng(0).normal(size=(2, 9, 64)).astype(np.float32)
+    batch = {"image": img, "person_mask": mask, "style_emb": emb,
+             "loss_w": np.ones((2, 4, 4, 1), np.float32)}
+
+    enc = encode_transport(batch)
+    assert enc["image"].dtype == np.uint8
+    assert enc["person_mask"].dtype == np.uint8
+    assert str(enc["style_emb"].dtype) == "bfloat16"
+    assert enc["loss_w"].dtype == np.float32
+
+    dec = decode_transport({k: jnp.asarray(a) for k, a in enc.items()})
+    np.testing.assert_array_equal(np.asarray(dec["image"]), img)
+    np.testing.assert_array_equal(np.asarray(dec["person_mask"]), mask)
+    assert dec["style_emb"].dtype == jnp.float32
+    # bf16 embedding transport truncates the mantissa; bound the error
+    np.testing.assert_allclose(np.asarray(dec["style_emb"]), emb,
+                               atol=0.0, rtol=2 ** -8)
+
+    # the 'smpl' RPM mode's continuous mask is NOT uint8-exact -> must
+    # ship as float32 unchanged, not quantized
+    cont = np.random.default_rng(1).uniform(
+        -1, 1, (2, 4, 4, 1)).astype(np.float32)
+    enc2 = encode_transport({"person_mask": cont})
+    assert enc2["person_mask"].dtype == np.float32
+    np.testing.assert_array_equal(enc2["person_mask"], cont)

@@ -53,20 +53,35 @@ def _build_cond_encoder(cfg, model, allow_debug=False):
     return DebugConditioningEncoder(context_dim=model.config.context_dim)
 
 
-def _loaders(cfg, batch_size):
-    from upgpt_tpu.data.deepfashion import DataLoader, PrefetchDataLoader
+def _loaders(cfg, batch_size, compact=False, train_transform=None):
+    from upgpt_tpu.data.deepfashion import (
+        DataLoader, PrefetchDataLoader, ProcessDataLoader,
+    )
 
     data_cfg = cfg.get("data") or {}
     out = {}
     for split in ("train", "validation", "test"):
         if split in data_cfg:
-            ds = instantiate_from_config(data_cfg[split])
+            split_cfg = data_cfg[split]
+            if split == "train" and compact:
+                # uint8 transport end-to-end (worker IPC + h2d); exact for
+                # uint8-sourced pixels — see DeepFashionPair(compact=...)
+                split_cfg = dict(split_cfg)
+                split_cfg["params"] = {
+                    **(split_cfg.get("params") or {}), "compact": True,
+                }
+            ds = instantiate_from_config(split_cfg)
             if split == "train":
                 # parallel decode + prefetch so the input pipeline overlaps
-                # the device step (reference worker processes, main.py:208-250)
-                out[split] = PrefetchDataLoader(
+                # the device step (reference worker processes, main.py:208-250);
+                # data.loader: "process" selects true worker processes
+                cls = (ProcessDataLoader
+                       if data_cfg.get("loader") == "process"
+                       else PrefetchDataLoader)
+                out[split] = cls(
                     ds, batch_size, shuffle=True,
                     num_workers=int(data_cfg.get("num_workers", 0)),
+                    batch_transform=train_transform,
                 )
             else:
                 out[split] = DataLoader(ds, batch_size, shuffle=False)
@@ -80,7 +95,12 @@ def cmd_train(cfg, args):
     from upgpt_tpu.training.trainer import Trainer, TrainerConfig
 
     model = instantiate_from_config(cfg["model"])
-    tc = TrainerConfig(**(cfg.get("trainer") or {}))
+    tcfg = dict(cfg.get("trainer") or {})
+    # default compact (uint8) host->device transport ON for accelerator
+    # backends — exact for uint8-sourced images; YAML can override
+    tcfg.setdefault("compact_transport",
+                    jax.default_backend() not in ("cpu",))
+    tc = TrainerConfig(**tcfg)
     # data-parallel mesh over ALL devices (reference DDP uses every requested
     # GPU, main.py:581); round the global batch up to a multiple of the
     # device count rather than silently idling chips
@@ -102,7 +122,10 @@ def cmd_train(cfg, args):
     (Path(tc.logdir) / "configs").mkdir(parents=True, exist_ok=True)
     with open(Path(tc.logdir) / "configs" / "merged.json", "w") as f:
         json.dump(cfg, f, indent=2, default=str)
-    loaders = _loaders(cfg, tc.batch_size)
+    # train loader runs conditioning encode + transport pack in its
+    # producer (batch_transform) so host post-processing overlaps the step
+    loaders = _loaders(cfg, tc.batch_size, compact=tc.compact_transport,
+                       train_transform=trainer.host_encode)
     params = frozen = None
     if getattr(args, "finetune_from", None):
         # --finetune_from: weights only, fresh optimizer (main.py:597-609)

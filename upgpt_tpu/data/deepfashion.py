@@ -90,8 +90,17 @@ class DeepFashionPair:
         men_factor: Optional[int] = None,
         shuffle: bool = False,
         seed: int = 0,
+        compact: bool = False,
     ):
+        """`compact=True` emits uint8 image/src_image/smpl_image/styles
+        instead of float32, deferring [-1,1] and CLIP normalization to the
+        consumer (the trainer's jitted step / the jitted CLIP encoder —
+        i.e. the device). EXACT: every such tensor is uint8-sourced, so
+        v/127.5-1 == v/255*2-1 and (v/255-mean)/std match the f32 pipeline
+        bit-for-bit (the empty style slot is normalize(black) = uint8
+        zeros). 4x less worker-IPC and host->device traffic."""
         assert input_mask_type in ("mask", "smpl", "bbox")
+        self.compact = compact
         self.root = Path(folder)
         self.image_root = self.root / image_dir
         # 'mask'/'bbox' read 256-res smpl renders; 'smpl' the full-res ones
@@ -143,11 +152,24 @@ class DeepFashionPair:
             img = resize_short_side(img, self.resize_size)
         if self.pad:
             img = pad_image(img, self.pad)
+        if self.compact:
+            from upgpt_tpu.data.transforms import to_uint8
+            return to_uint8(img)
         return to_tensor_range(img)
 
     def _load_styles(self, styles_rel: str, drop_style: bool) -> np.ndarray:
         base = self.style_root / styles_rel
         out = []
+        if self.compact:
+            from upgpt_tpu.data.transforms import to_uint8
+            for name in STYLE_NAMES:
+                p = base / f"{name}.jpg"
+                if p.exists() and not drop_style:
+                    out.append(to_uint8(Image.open(p)))
+                else:
+                    # empty slot = normalize(black) in the f32 pipeline
+                    out.append(np.zeros((224, 224, 3), np.uint8))
+            return np.stack(out)
         for name in STYLE_NAMES:
             p = base / f"{name}.jpg"
             if p.exists() and not drop_style:
@@ -204,7 +226,11 @@ class DeepFashionPair:
             pose_path = str(self.pose_root / target["pose"])
             smpl_img = center_crop(Image.open(pose_path + ".jpg"), (256, 192))
             data["person_mask"] = self._person_mask(pose_path, smpl_img)
-            data["smpl_image"] = to_tensor_range(smpl_img)
+            if self.compact:
+                from upgpt_tpu.data.transforms import to_uint8
+                data["smpl_image"] = to_uint8(smpl_img)
+            else:
+                data["smpl_image"] = to_tensor_range(smpl_img)
             data["smpl"] = self._load_smpl(pose_path)
 
             if self.loss_weight:
@@ -333,12 +359,19 @@ class DataLoader:
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
-                 seed: int = 0, drop_last: bool = True):
+                 seed: int = 0, drop_last: bool = True, batch_transform=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        # host-side post-processing (e.g. conditioning encode + transport
+        # pack) applied to each collated batch INSIDE the producer, so it
+        # overlaps the device step instead of serializing the train loop
+        self.batch_transform = batch_transform
+
+    def _finalize(self, batch: Dict) -> Dict:
+        return self.batch_transform(batch) if self.batch_transform else batch
 
     def __len__(self):
         n = len(self.dataset) // self.batch_size
@@ -357,7 +390,7 @@ class DataLoader:
         idx = self._permutation(epoch)
         for i in range(len(self)):
             sel = idx[i * self.batch_size : (i + 1) * self.batch_size]
-            yield collate([self.dataset[int(j)] for j in sel])
+            yield self._finalize(collate([self.dataset[int(j)] for j in sel]))
 
 
 class PrefetchDataLoader(DataLoader):
@@ -374,9 +407,10 @@ class PrefetchDataLoader(DataLoader):
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = True,
-                 num_workers: int = 0, prefetch_batches: int = 2):
+                 num_workers: int = 0, prefetch_batches: int = 2,
+                 batch_transform=None):
         super().__init__(dataset, batch_size, shuffle=shuffle, seed=seed,
-                         drop_last=drop_last)
+                         drop_last=drop_last, batch_transform=batch_transform)
         self.num_workers = num_workers or min(32, 2 * batch_size)
         self.prefetch_batches = max(1, prefetch_batches)
 
@@ -400,7 +434,7 @@ class PrefetchDataLoader(DataLoader):
                         sel = idx[i * self.batch_size:(i + 1) * self.batch_size]
                         futs = [ex.submit(self.dataset.__getitem__, int(j))
                                 for j in sel]
-                        q.put(collate([f.result() for f in futs]))
+                        q.put(self._finalize(collate([f.result() for f in futs])))
                 q.put(_END)
             except BaseException as e:  # propagate decode errors to consumer
                 q.put(e)
@@ -418,6 +452,146 @@ class PrefetchDataLoader(DataLoader):
         finally:
             stop.set()
             # unblock a producer stuck on a full queue
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:  # pragma: no cover
+                    break
+
+
+# ---- worker-process loader ----
+
+_WORKER_DATASET = None
+
+
+def _worker_init(ds_bytes: bytes) -> None:
+    global _WORKER_DATASET
+    import pickle as _pickle
+
+    _WORKER_DATASET = _pickle.loads(ds_bytes)
+
+
+def _worker_getitem(i: int):
+    return _WORKER_DATASET[int(i)]
+
+
+class ProcessDataLoader(DataLoader):
+    """True worker-PROCESS loader — the reference DataLoader's
+    `num_workers = 2*bs` semantics (main.py:208-250), GIL-free.
+
+    The thread-pool PrefetchDataLoader tops out near the serial decode rate
+    on this workload (PIL/numpy hold the GIL through most of the
+    DeepFashion item assembly: measured 274 ms/batch threaded vs 225
+    serial at bs 12). Worker processes decode truly in parallel; the pool
+    persists across epochs and receives the pickled dataset once per
+    worker at startup. Batches are `prefetch_batches`-deep software
+    pipelined via map_async, with the same deterministic per-epoch
+    permutation (identical batch contents to DataLoader). Worker
+    exceptions surface in the consumer at the offending batch.
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, drop_last: bool = True,
+                 num_workers: int = 0, prefetch_batches: int = 2,
+                 batch_transform=None):
+        super().__init__(dataset, batch_size, shuffle=shuffle, seed=seed,
+                         drop_last=drop_last, batch_transform=batch_transform)
+        self.num_workers = num_workers or min(16, os.cpu_count() or 8)
+        self.prefetch_batches = max(1, prefetch_batches)
+        self._pool = None
+
+    def _ensure_pool(self):
+        if self._pool is None:
+            import multiprocessing as mp
+            import pickle as _pickle
+
+            # spawn, not fork: the pool is created lazily from a process
+            # whose JAX/TPU client threads are already live, and forking a
+            # multithreaded runtime deadlocks (os.fork warns exactly this).
+            # Spawn startup cost (~4 s/worker, sitecustomize imports) is
+            # paid once; the pool persists across epochs.
+            import sys
+
+            main = sys.modules.get("__main__")
+            main_file = getattr(main, "__file__", None)
+            if main_file in ("<stdin>", "<string>") or (
+                    main_file and not os.path.exists(main_file)):
+                # spawn re-imports __main__ in each worker; an un-importable
+                # main (heredoc/-c) makes the pool respawn-loop forever
+                raise RuntimeError(
+                    "ProcessDataLoader requires an importable __main__ "
+                    f"(got {main_file!r}); run from a script/module or use "
+                    "PrefetchDataLoader")
+            ctx = mp.get_context("spawn")
+            self._pool = ctx.Pool(
+                self.num_workers, initializer=_worker_init,
+                initargs=(_pickle.dumps(self.dataset),),
+            )
+        return self._pool
+
+    def close(self) -> None:
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool.join()
+            self._pool = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def epoch(self, epoch: int = 0):
+        import queue
+        import threading
+        from collections import deque
+
+        pool = self._ensure_pool()
+        idx = self._permutation(epoch)
+        n = len(self)
+        chunk = max(1, self.batch_size // self.num_workers)
+        # collate + batch_transform run in a producer THREAD feeding a
+        # bounded queue, so they overlap the consumer's device step just
+        # like PrefetchDataLoader's
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
+        stop = threading.Event()
+        _END = object()
+
+        def submit(pending, i: int) -> None:
+            sel = [int(j) for j in
+                   idx[i * self.batch_size:(i + 1) * self.batch_size]]
+            pending.append(
+                pool.map_async(_worker_getitem, sel, chunksize=chunk))
+
+        def producer():
+            pending: "deque" = deque()
+            try:
+                for i in range(min(self.prefetch_batches, n)):
+                    submit(pending, i)
+                for i in range(n):
+                    if stop.is_set():
+                        return
+                    items = pending.popleft().get()
+                    nxt = i + self.prefetch_batches
+                    if nxt < n:
+                        submit(pending, nxt)
+                    q.put(self._finalize(collate(items)))
+                q.put(_END)
+            except BaseException as e:  # surface worker errors in consumer
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
             while not q.empty():
                 try:
                     q.get_nowait()

@@ -38,6 +38,13 @@ def clip_normalize_image(img: Image.Image) -> np.ndarray:
     return (to_float01(img) - CLIP_MEAN) / CLIP_STD
 
 
+def to_uint8(img: Image.Image) -> np.ndarray:
+    """PIL -> HWC uint8: the compact-pipeline transport form. Exact:
+    uint8 v round-trips to the same v/255-derived floats the f32 pipeline
+    produces, whether the consumer applies [-1,1] or CLIP normalization."""
+    return np.asarray(img.convert("RGB"), np.uint8)
+
+
 def empty_style() -> np.ndarray:
     """CLIP-normalized zeros: the embedding-space 'no style' slot."""
     return np.broadcast_to((-CLIP_MEAN / CLIP_STD), (224, 224, 3)).astype(np.float32).copy()

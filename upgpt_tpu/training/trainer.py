@@ -37,6 +37,84 @@ from upgpt_tpu.training.train_state import (
 )
 
 
+def decode_transport(batch: Dict) -> Dict:
+    """Undo compact host->device transport inside a jitted step.
+
+    uint8 image tensors -> float32 in [-1, 1] (exact inverse of the
+    pipeline's v/255*2-1 for uint8-sourced pixels); bfloat16 embeddings ->
+    float32. float32 inputs pass through untouched, so the same jitted step
+    serves both transports.
+    """
+    out = {}
+    for k, v in batch.items():
+        if hasattr(v, "dtype") and v.dtype == jnp.uint8:
+            out[k] = v.astype(jnp.float32) / 127.5 - 1.0
+        elif hasattr(v, "dtype") and v.dtype == jnp.bfloat16:
+            out[k] = v.astype(jnp.float32)
+        else:
+            out[k] = v
+    return out
+
+
+def encode_transport(batch: Dict) -> Dict:
+    """Host-side half of compact transport (see decode_transport)."""
+    import ml_dtypes
+
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        if k in ("image", "person_mask") and v.dtype == np.float32:
+            q = np.round(
+                np.clip((v + 1.0) * 127.5, 0.0, 255.0)).astype(np.uint8)
+            # images are always uint8-sourced, but the 'smpl' RPM mode
+            # produces a CONTINUOUS person_mask (bilinear mean of the
+            # render) — quantizing that would shift training numerics, so
+            # ship any lossy tensor in f32 unchanged
+            if np.array_equal(q.astype(np.float32) / 127.5 - 1.0, v):
+                out[k] = q
+            else:
+                out[k] = v
+        elif k.endswith("_emb") and v.dtype == np.float32:
+            out[k] = v.astype(ml_dtypes.bfloat16)
+        else:
+            out[k] = v
+    return out
+
+
+def transfer_prefetch(raw_iter, to_device, depth: int = 2):
+    """Host->device transfer pipelining: run `to_device(raw)` (jnp.asarray
+    + sharding) on a helper thread `depth` batches ahead of the consumer.
+
+    On remote-tunnel backends the per-batch wire time (measured ~34 ms for
+    a 3.4 MB compact batch) otherwise serializes with the dispatch of the
+    device step, because the train loop's step call blocks while the device
+    drains. The helper thread's transfers ride the wire concurrently with
+    the blocked dispatch (which releases the GIL).
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    _END = object()
+
+    def worker():
+        try:
+            for raw in raw_iter:
+                q.put(to_device(raw))
+            q.put(_END)
+        except BaseException as e:  # propagate into the consumer
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 @dataclasses.dataclass
 class TrainerConfig:
     base_learning_rate: float = 2e-6
@@ -56,6 +134,12 @@ class TrainerConfig:
     seed: int = 42
     warm_up_steps: int = 1
     scheduler_f_start: float = 1e-6
+    # uint8 image + bf16 embedding host->device transport, dequantized
+    # inside the jitted step. EXACT for uint8-sourced images (every
+    # DeepFashion pixel): round((v/255*2-1 + 1)*127.5) == v and
+    # v/127.5 - 1 == v/255*2 - 1. Cuts per-batch h2d bytes ~4x — decisive
+    # when the host link is thin (remote tunnels), harmless when it isn't.
+    compact_transport: bool = False
 
 
 class Trainer:
@@ -98,21 +182,25 @@ class Trainer:
             rep = replicated_sharding(mesh)
             bsh = batch_sharding(mesh)
             self._train_step = jax.jit(
-                lambda s, f, b, r: train_step(self.model, s, f, b, r),
+                lambda s, f, b, r: train_step(
+                    self.model, s, f, decode_transport(b), r),
                 in_shardings=(rep, rep, bsh, rep),
                 donate_argnums=(0,),
             )
             self._eval_step = jax.jit(
-                lambda s, f, b, r: eval_step(self.model, s, f, b, r),
+                lambda s, f, b, r: eval_step(
+                    self.model, s, f, decode_transport(b), r),
                 in_shardings=(rep, rep, bsh, rep),
             )
         else:
             self._train_step = jax.jit(
-                lambda s, f, b, r: train_step(self.model, s, f, b, r),
+                lambda s, f, b, r: train_step(
+                    self.model, s, f, decode_transport(b), r),
                 donate_argnums=(0,),
             )
             self._eval_step = jax.jit(
-                lambda s, f, b, r: eval_step(self.model, s, f, b, r)
+                lambda s, f, b, r: eval_step(
+                    self.model, s, f, decode_transport(b), r)
             )
 
     # ------------- checkpointing -------------
@@ -257,10 +345,23 @@ class Trainer:
 
     # ------------- the loop -------------
 
-    def _device_batch(self, raw: Dict) -> Dict:
+    _KEEP = ("image", "person_mask", "text_emb", "style_emb", "smpl", "loss_w")
+
+    def host_encode(self, raw: Dict) -> Dict:
+        """Host-side batch post-processing: conditioning encode + transport
+        pack. Pass as the loader's `batch_transform` so it runs in the
+        producer thread and overlaps the device step (it is the dominant
+        host cost per step otherwise)."""
         batch = self.cond_encoder.encode_batch(raw)
-        keep = ("image", "person_mask", "text_emb", "style_emb", "smpl", "loss_w")
-        batch = {k: jnp.asarray(v) for k, v in batch.items() if k in keep}
+        batch = {k: v for k, v in batch.items() if k in self._KEEP}
+        if self.config.compact_transport:
+            batch = encode_transport(batch)
+        return batch
+
+    def _device_batch(self, raw: Dict) -> Dict:
+        if "text_emb" not in raw:  # not pre-encoded by the loader
+            raw = self.host_encode(raw)
+        batch = {k: jnp.asarray(v) for k, v in raw.items() if k in self._KEEP}
         if self.mesh is not None:
             batch = shard_batch(self.mesh, batch)
         return batch
@@ -340,8 +441,8 @@ class Trainer:
             step = int(state.step)
             for epoch in range(start_epoch, cfg.max_epochs):
                 t_epoch = time.time()
-                for raw in train_loader.epoch(epoch):
-                    batch = self._device_batch(raw)
+                for batch in transfer_prefetch(
+                        train_loader.epoch(epoch), self._device_batch):
                     state, metrics = self._train_step(
                         state, frozen_params, batch, rng
                     )
