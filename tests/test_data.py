@@ -333,3 +333,64 @@ def test_process_loader_matches_serial(fashion_tree):
                 np.testing.assert_array_equal(a["styles"], b["styles"])
     finally:
         proc.close()
+
+
+def test_dropout_deterministic_across_loaders_and_fresh_per_epoch(fashion_tree):
+    """Style dropout is a pure function of (seed, epoch, index): serial,
+    thread, and worker-process loaders agree batch-for-batch even with
+    dropout on, and decisions change across epochs (not frozen per item)."""
+    from upgpt_tpu.data.deepfashion import (
+        DataLoader, PrefetchDataLoader, ProcessDataLoader,
+    )
+
+    mk = lambda: _make(fashion_tree, dropout=0.5, compact=True)
+    serial, threaded = DataLoader(mk(), 2), PrefetchDataLoader(mk(), 2)
+    proc = ProcessDataLoader(mk(), 2, num_workers=2)
+    per_epoch = []
+    try:
+        for ep in range(8):
+            a = next(serial.epoch(ep))
+            b = next(threaded.epoch(ep))
+            c = next(proc.epoch(ep))
+            np.testing.assert_array_equal(a["styles"], b["styles"])
+            np.testing.assert_array_equal(a["styles"], c["styles"])
+            # record which items were dropped (all-zero style stack)
+            per_epoch.append(tuple(
+                bool(a["styles"][i].any()) for i in range(2)))
+    finally:
+        proc.close()
+    # freshness: with p=0.5 over 8 epochs x 2 items the decisions cannot
+    # all be identical unless the RNG ignores the epoch (p ~ 2^-14)
+    assert len(set(per_epoch)) > 1
+
+
+def test_transfer_prefetch_early_break_stops_producer(fashion_tree):
+    """Breaking out of a transfer_prefetch consumer must unwind the helper
+    thread and close the upstream iterator (no parked threads)."""
+    import threading
+    import time as _time
+
+    from upgpt_tpu.training.trainer import transfer_prefetch
+
+    closed = {"flag": False}
+
+    def src():
+        try:
+            i = 0
+            while True:
+                yield {"i": np.full((4,), i)}
+                i += 1
+        finally:
+            closed["flag"] = True
+
+    before = threading.active_count()
+    it = transfer_prefetch(src(), lambda d: d, depth=2)
+    got = [next(it), next(it)]
+    assert got[0]["i"][0] == 0
+    it.close()  # what a `break` in a for-loop does on GC
+    deadline = _time.time() + 5
+    while _time.time() < deadline and (
+            threading.active_count() > before or not closed["flag"]):
+        _time.sleep(0.05)
+    assert closed["flag"], "upstream generator was not closed"
+    assert threading.active_count() <= before

@@ -119,7 +119,8 @@ class DeepFashionPair:
         self.latent_hw = (image_size[0] // f, image_size[1] // f)
         self.resize_size = resize_size
         self.pad = tuple(pad) if pad else None
-        self._rng = _random.Random(seed)
+        self.seed = seed
+        self._epoch = 0
 
         self.map: Dict[str, Dict[str, str]] = {}
         for row in _read_csv(data_file):
@@ -140,10 +141,26 @@ class DeepFashionPair:
     def __len__(self) -> int:
         return len(self.rows)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Epoch context for the per-item RNG (torch set_epoch convention).
+
+        Loaders call this at epoch start so stochastic per-item decisions
+        (style dropout, skip-sample redirects) are fresh each epoch yet a
+        pure function of (seed, epoch, index) — identical across serial /
+        thread / worker-process loaders and across runs. A shared stateful
+        RNG would instead be consumed in thread-completion order (threads)
+        or cloned into every worker (processes), silently changing the
+        dropout statistics."""
+        self._epoch = int(epoch)
+
+    def _item_rng(self, index: int) -> _random.Random:
+        # str seeding uses the deterministic sha512 path (never PYTHONHASHSEED)
+        return _random.Random(f"{self.seed}:{self._epoch}:{index}")
+
     # -- skip_sample semantics (deepfashion_inshop.py:28-39)
     def _skip(self, index: int):
         if self.shuffle:
-            return self[self._rng.randint(0, len(self) - 1)]
+            return self[self._item_rng(index).randint(0, len(self) - 1)]
         return self[0 if index >= len(self) - 1 else index + 1]
 
     def _prep_image(self, img: Image.Image) -> np.ndarray:
@@ -215,7 +232,8 @@ class DeepFashionPair:
             styles_rel = source.get("styles") or ""
             if not styles_rel:
                 return self._skip(index)
-            drop_style = bool(self.dropout) and self._rng.random() < self.dropout
+            drop_style = (bool(self.dropout)
+                          and self._item_rng(index).random() < self.dropout)
 
             data.update(
                 fname=get_name(row["from"], row["to"]),
@@ -294,7 +312,8 @@ class DeepFashionSuperRes(DeepFashionPair):
         try:
             row = self.rows[index]
             source = self.map[row["from"]]
-            drop_style = bool(self.dropout) and self._rng.random() < self.dropout
+            drop_style = (bool(self.dropout)
+                          and self._item_rng(index).random() < self.dropout)
             lr = self._lr(Image.open(self.lr_root / source["image"]))
             return {
                 "lr": lr,
@@ -386,7 +405,12 @@ class DataLoader:
             rng.shuffle(idx)
         return idx
 
+    def _set_epoch(self, epoch: int) -> None:
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
+
     def epoch(self, epoch: int = 0):
+        self._set_epoch(epoch)
         idx = self._permutation(epoch)
         for i in range(len(self)):
             sel = idx[i * self.batch_size : (i + 1) * self.batch_size]
@@ -419,6 +443,7 @@ class PrefetchDataLoader(DataLoader):
         import threading
         from concurrent.futures import ThreadPoolExecutor
 
+        self._set_epoch(epoch)
         idx = self._permutation(epoch)
         n_batches = len(self)
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
@@ -471,7 +496,11 @@ def _worker_init(ds_bytes: bytes) -> None:
     _WORKER_DATASET = _pickle.loads(ds_bytes)
 
 
-def _worker_getitem(i: int):
+def _worker_getitem(job):
+    epoch, i = job
+    if getattr(_WORKER_DATASET, "_epoch", None) != epoch and hasattr(
+            _WORKER_DATASET, "set_epoch"):
+        _WORKER_DATASET.set_epoch(epoch)
     return _WORKER_DATASET[int(i)]
 
 
@@ -558,7 +587,7 @@ class ProcessDataLoader(DataLoader):
         _END = object()
 
         def submit(pending, i: int) -> None:
-            sel = [int(j) for j in
+            sel = [(epoch, int(j)) for j in
                    idx[i * self.batch_size:(i + 1) * self.batch_size]]
             pending.append(
                 pool.map_async(_worker_getitem, sel, chunksize=chunk))

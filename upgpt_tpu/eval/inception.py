@@ -200,7 +200,11 @@ def preprocess_fid(images: jax.Array) -> jax.Array:
     bilinear 299x299 (align_corners=False) -> [-1,1]. No crop."""
     n = images.shape[0]
     c = images.shape[-1]
-    x = jax.image.resize(images, (n, 299, 299, c), method="bilinear")
+    # antialias=False: pytorch_fid uses F.interpolate(..., align_corners=False)
+    # which never antialiases; jax.image.resize defaults to antialias=True on
+    # downscale, which would change pool3 features for >299px inputs
+    x = jax.image.resize(images, (n, 299, 299, c), method="bilinear",
+                         antialias=False)
     return x * 2.0 - 1.0
 
 
@@ -286,4 +290,5 @@ class InceptionFeatureFn:
 
 def _resize299(x: jax.Array) -> jax.Array:
     n, _, _, c = x.shape
-    return jax.image.resize(x, (n, 299, 299, c), method="bilinear")
+    return jax.image.resize(x, (n, 299, 299, c), method="bilinear",
+                            antialias=False)

@@ -111,7 +111,9 @@ class DebugConditioningEncoder:
             e = self._text_cache.get(t)
             if e is None:
                 e = self._emb(t, (self.text_len, self.context_dim))
-                if len(self._text_cache) < 65536:
+                # text entries are (77, 768) f32 = ~236 KB each; cap the
+                # cache by BYTES these imply (~240 MB), not a huge count
+                if len(self._text_cache) < 1024:
                     self._text_cache[t] = e
             out.append(e)
         return np.stack(out)
@@ -148,7 +150,7 @@ class DebugConditioningEncoder:
                 e = self._style_cache.get(key)
                 if e is None:
                     e = (flat[i, j] @ proj) * scale
-                    if len(self._style_cache) < 65536:
+                    if len(self._style_cache) < 32768:  # 3 KB each, ~100 MB
                         self._style_cache[key] = e
                 out[i, j] = e
         return out

@@ -425,7 +425,10 @@ class SpatialTransformer(nn.Module):
               else (ctx.shape[1] if ctx is not None else h * w))
         if (self.fused and self.depth == 1 and inner == c
                 and (kv0 is not None or ctx is not None)
-                and fused_transformer_qualifies(h * w, c, self.num_heads, tk)):
+                and fused_transformer_qualifies(
+                    h * w, c, self.num_heads, tk,
+                    kv_precomputed=kv0 is not None,
+                    ctx_dim=None if ctx is None else ctx.shape[-1])):
             out = fused_transformer_block(
                 tokens, p, self.num_heads, ctx, kv0,
                 1e-6, self.use_flash,

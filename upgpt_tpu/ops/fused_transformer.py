@@ -40,7 +40,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_BUDGET = 15 * 1024 * 1024
+# Not the physical limit (v5e VMEM is 128 MB) but a scheduling-headroom
+# heuristic: past this, Mosaic loses double-buffering room and the kernel
+# stops beating XLA. Calibrated so the production geometries (ds1/ds2 of
+# the 256px nets, serving AND training incl. the in-kernel cross
+# projection the gate now counts) qualify with margin.
+_VMEM_BUDGET = 17 * 1024 * 1024
 
 
 # ---------------------------------------------------------------- helpers
@@ -282,16 +287,35 @@ def transformer_block_reference(
 # ---------------------------------------------------------------- wrapper
 
 
+def _ff_tile(t: int, c: int) -> int:
+    """FF row-tile: the whole T when the f32 (T, 8C) intermediate fits in
+    ~6 MB, else the largest divisor of T that is <= 256 (T % 8 == 0 is
+    guaranteed by the qualify gate, so a divisor always exists — a
+    non-divisor tile would silently drop T % tile rows)."""
+    if t * 8 * c * 4 <= 6 * 1024 * 1024:
+        return t
+    return next(d for d in range(256, 0, -1) if t % d == 0)
+
+
 def fused_transformer_qualifies(t: int, c: int, heads: int, tk: int,
-                                depth: int = 1) -> bool:
+                                depth: int = 1,
+                                kv_precomputed: bool = True,
+                                ctx_dim: Optional[int] = None) -> bool:
     """VMEM-feasibility gate: ds1/ds2 of the 256px nets qualify; the 896ch
-    mid level (13 MB of FF weights alone) and T>1024 fall back to XLA."""
+    mid level (13 MB of FF weights alone) and T>1024 fall back to XLA.
+    `kv_precomputed=False` (the training path, context projected in-kernel)
+    additionally budgets the wk2/wv2 weights and the raw context block."""
     if depth != 1 or c % heads or c % 32 or heads * (c // heads) != c:
         return False
     if t > 1024 or c > 512 or t % 8:
         return False
     weights = (6 * c * c + 2 * 8 * c * c + c * c) * 2  # qkv/o x2 + ff + proj
-    work = 5 * t * c * 4 + t * t * 4 + min(t, 256) * 8 * c * 4
+    work = (5 * t * c * 4 + t * t * 4 + _ff_tile(t, c) * 8 * c * 4
+            + 3 * tk * c * 4)  # cross K/V blocks + (T,Tk) scores margin
+    if not kv_precomputed:
+        cd = ctx_dim or c
+        weights += 2 * cd * c * 2  # wk2/wv2, bf16
+        work += tk * cd * 4  # raw context block
     return weights + work <= _VMEM_BUDGET
 
 
@@ -398,7 +422,7 @@ def _fused_forward(x_tokens, p, heads, context, kv, gn_eps):
     ] + extra_specs
 
     # tile FF only when the f32 intermediate would exceed ~6 MB
-    ff_tile = t if t * 8 * c * 4 <= 6 * 1024 * 1024 else min(t, 256)
+    ff_tile = _ff_tile(t, c)
     kernel = functools.partial(
         _block_kernel, heads=heads, scale=1.0 / math.sqrt(dh),
         gn_eps=gn_eps, cnt=float(t * (c // 32)), kv_precomputed=kv_pre,

@@ -96,23 +96,46 @@ def transfer_prefetch(raw_iter, to_device, depth: int = 2):
 
     q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
     _END = object()
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        # bounded put that gives up when the consumer is gone — an
+        # abandoned consumer (break/exception in the train loop) must not
+        # leave this thread parked on a full queue forever
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for raw in raw_iter:
-                q.put(to_device(raw))
-            q.put(_END)
+                if not put(to_device(raw)):
+                    return  # consumer gone; dropping raw_iter closes it,
+                    # which runs the loader generator's own cleanup
+            put(_END)
         except BaseException as e:  # propagate into the consumer
-            q.put(e)
+            put(e)
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except queue.Empty:  # pragma: no cover
+                break
 
 
 @dataclasses.dataclass
@@ -409,10 +432,13 @@ class Trainer:
             state = jax.device_put(state, rep)
             frozen_params = jax.device_put(frozen_params, rep)
 
-        # SIGUSR1 -> checkpoint (main.py:771-782 'Summoning checkpoint')
+        # SIGUSR1 -> checkpoint (main.py:771-782 'Summoning checkpoint').
+        # Saves the CURRENT epoch in the sidecar meta so a preemption-resume
+        # redoes the interrupted epoch, not the one of the last scheduled save
         def _usr1(signum, frame):
             print("Summoning checkpoint.")
-            self.save_checkpoint(state, frozen_params, "last")
+            self.save_checkpoint(state, frozen_params, "last",
+                                 epoch=self._fit_epoch)
 
         try:
             signal.signal(signal.SIGUSR1, _usr1)
@@ -437,9 +463,11 @@ class Trainer:
             meta_epoch = self._load_epoch_meta()
             start_epoch = (meta_epoch if meta_epoch is not None
                            else int(state.step) // max(len(train_loader), 1))
+        self._fit_epoch = start_epoch
         try:
             step = int(state.step)
             for epoch in range(start_epoch, cfg.max_epochs):
+                self._fit_epoch = epoch
                 t_epoch = time.time()
                 for batch in transfer_prefetch(
                         train_loader.epoch(epoch), self._device_batch):
