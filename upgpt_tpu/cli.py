@@ -222,6 +222,9 @@ def cmd_test(cfg, args):
         model, num_steps=args.steps or samp.get("ddim_steps", 200),
         eta=samp.get("eta", 1.0),
     )
+    # per-variant eval crop: 256x176 for the 256px models, 512x352 for the
+    # 512 stages (reference model params crop_size, e.g. mm_512/config.yaml:15)
+    crop_hw = tuple((cfg.get("eval") or {}).get("crop_size") or (256, 176))
     loaders = _loaders(cfg, args.batch)
     loader = loaders.get("test") or loaders["validation"]
     results = Path(args.out)
@@ -242,12 +245,12 @@ def cmd_test(cfg, args):
                 extra[group] = np.asarray(raw[src_key])
         dump_test_results(
             str(results), fnames, imgs, gt=gt, extra=extra,
-            styles=raw.get("styles"), make_concats=True,
+            styles=raw.get("styles"), make_concats=True, crop_hw=crop_hw,
         )
         n += len(imgs)
         if args.max_images and n >= args.max_images:
             break
-    metrics = evaluate_dirs(str(results))
+    metrics = evaluate_dirs(str(results), crop_hw=crop_hw)
     print(json.dumps(metrics))
 
 

@@ -289,7 +289,11 @@ class DeepFashionSample(DeepFashionPair):
         pose_path = str(self.pose_root / source["pose"])
         smpl_img = center_crop(Image.open(pose_path + ".jpg"), (256, 192))
         data["person_mask"] = self._person_mask(pose_path, smpl_img)
-        data["smpl_image"] = to_tensor_range(smpl_img)
+        if self.compact:
+            from upgpt_tpu.data.transforms import to_uint8
+            data["smpl_image"] = to_uint8(smpl_img)
+        else:
+            data["smpl_image"] = to_tensor_range(smpl_img)
         data["smpl"] = self._load_smpl(pose_path)
         return data
 
