@@ -113,6 +113,19 @@ def test_cli_train_then_test(tiny_config_file, capsys):
     assert "lpips" not in header
 
 
+def test_cli_sample_tensor_parallel(tiny_config_file):
+    """`sample --tp 4`: (data=2, model=4) mesh over the 8 virtual devices."""
+    path, logdir = tiny_config_file
+    if not os.path.exists(f"{logdir}/checkpoints/last"):
+        cli_main(["train", "--debug-encoder", "--base", str(path)])
+    out_dir = f"{logdir}/tp_samples"
+    cli_main(["sample", "--debug-encoder", "--base", str(path),
+              "--ckpt", f"{logdir}/checkpoints/last", "--out", out_dir,
+              "--batch", "2", "--steps", "4", "--tp", "4"])
+    files = os.listdir(out_dir)
+    assert len(files) == 2, files
+
+
 def test_cli_dotlist_override(tiny_config_file):
     path, _ = tiny_config_file
     from upgpt_tpu.config import merge_configs

@@ -170,6 +170,29 @@ def _restore_params(model, ckpt_path, require_vae=True):
     return params
 
 
+def _tp_shard(model, params, tp):
+    """Serving-side tensor parallelism (parallel/tp.py): 2D (data x model)
+    mesh, Megatron split on the U-Net transformer matmuls. Returns
+    (params, put_batch) where put_batch device_puts a batch dict sharded on
+    the data axis. tp<=1 is a no-op."""
+    if not tp or tp <= 1:
+        return params, lambda b: b
+    import jax
+
+    from upgpt_tpu.parallel import tp as tp_mod
+    from upgpt_tpu.parallel.mesh import batch_sharding, create_mesh
+
+    n_dev = len(jax.devices())
+    if n_dev % tp:
+        raise SystemExit(f"--tp {tp} does not divide {n_dev} devices")
+    mesh = create_mesh((n_dev // tp, tp))
+    tp_mod.validate_divisibility(
+        params, tp=tp, num_heads=model.config.unet.num_heads)
+    params = tp_mod.shard_params(mesh, params)
+    bsh = batch_sharding(mesh)
+    return params, lambda b: {k: jax.device_put(v, bsh) for k, v in b.items()}
+
+
 def cmd_sample(cfg, args):
     import jax
     import jax.numpy as jnp
@@ -196,7 +219,9 @@ def cmd_sample(cfg, args):
     raw = next(loader.epoch(0))
     batch = enc.encode_batch(raw)
     batch = {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
-    imgs = np.asarray(pipe.generate(params, batch, jax.random.PRNGKey(args.seed)))
+    params, put_batch = _tp_shard(model, params, getattr(args, "tp", 1))
+    imgs = np.asarray(
+        pipe.generate(params, put_batch(batch), jax.random.PRNGKey(args.seed)))
     for i, img in enumerate(imgs):
         arr = np.clip((img + 1) / 2, 0, 1)
         Image.fromarray((arr * 255).astype(np.uint8)).save(out_dir / f"sample_{i:03d}.jpg")
@@ -232,10 +257,12 @@ def cmd_test(cfg, args):
     # `reconstruction`, ddpm.py:1389-1393; mode() for determinism)
     recon_fn = jax.jit(lambda p, x: model.decode_first_stage(
         p, model.encode_first_stage_mode(p, x)))
+    params, put_batch = _tp_shard(model, params, getattr(args, "tp", 1))
     n = 0
     for raw in loader.epoch(0):
         batch = enc.encode_batch(raw)
         dev = {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
+        dev = put_batch(dev)
         imgs = np.asarray(pipe.generate(params, dev, jax.random.PRNGKey(n)))
         fnames = raw.get("fname", [f"img{n + i}" for i in range(len(imgs))])
         gt = np.asarray(raw["image"])
@@ -411,6 +438,11 @@ def main(argv=None):
             sp.add_argument("--batch", type=int, default=8)
             sp.add_argument("--seed", type=int, default=0)
             sp.add_argument("--max-images", type=int, default=None)
+            sp.add_argument("--tp", type=int, default=1,
+                            help="tensor-parallel degree: shard the U-Net's "
+                                 "transformer matmuls over a (data x model) "
+                                 "mesh (parallel/tp.py); batch still shards "
+                                 "over the data axis")
         if name == "eval":
             sp.add_argument("--dir", required=True)
             sp.add_argument("--fid-weights", default=None,
