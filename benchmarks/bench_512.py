@@ -4,7 +4,14 @@ Measures DDIM-50 + decode img/s at batch 8 for:
   - mm_512: 64x48 latent (T=3072 self-attention -> Pallas flash path)
   - upscale: 128x96x3 kl-f4 latent, lr-concat conditioning
 
+`train` mode measures the full training step (frozen-VAE encode ->
+q_sample -> U-Net fwd+bwd -> AdamW + EMA) at the same geometry — the
+T=3072 backward runs the blocked Pallas flash backward, which is what
+makes this batch size fit at all (the XLA recompute backward materializes
+b*h fp32 (3072, 3072) score tensors per transformer layer).
+
 Usage: python benchmarks/bench_512.py [mm_512|upscale] [batch]
+       python benchmarks/bench_512.py train [mm_512|upscale] [batch]
 """
 
 import os
@@ -16,6 +23,54 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def bench_train(model, params, variant, batch):
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from upgpt_tpu.training.train_state import create_train_state, train_step
+
+    cfg = model.config
+    frozen = {"vae": params.pop("vae")}
+    state = create_train_state(params, learning_rate=2e-6, use_ema=True)
+
+    rng = np.random.default_rng(0)
+    h, w = cfg.latent_size
+    f = 2 ** (len(cfg.vae.ch_mult) - 1)
+    concat_ch = cfg.unet.in_channels - cfg.latent_channels
+    bt = {
+        "image": jnp.asarray(rng.normal(size=(batch, h * f, w * f, 3)) * 0.3,
+                             jnp.float32),
+        "person_mask": jnp.asarray(
+            rng.normal(size=(batch, h, w, concat_ch)), jnp.float32),
+        "text_emb": jnp.asarray(rng.normal(size=(batch, 77, 768)), jnp.float32),
+        "style_emb": jnp.asarray(rng.normal(size=(batch, 9, 768)), jnp.float32),
+        "loss_w": jnp.ones((batch, h, w, 1), jnp.float32),
+    }
+    if cfg.pose_input_dim:
+        bt["smpl"] = jnp.asarray(rng.normal(size=(batch, 1, 85)), jnp.float32)
+    key = jax.random.PRNGKey(1)
+    step_fn = jax.jit(
+        lambda s: train_step(model, s, frozen, bt, key), donate_argnums=0)
+
+    t0 = time.perf_counter()
+    state, metrics = step_fn(state)
+    loss0 = float(metrics["loss"])
+    print(f"train {variant}: compile+first {time.perf_counter()-t0:.1f}s, "
+          f"loss {loss0:.4f}", file=sys.stderr)
+    best = float("inf")
+    for _ in range(3):
+        n = 5
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, metrics = step_fn(state)
+        np.asarray(metrics["loss"])  # fence
+        best = min(best, (time.perf_counter() - t0) / n * 1000)
+    print(f"train {variant} batch={batch}: {best:.1f} ms/step, "
+          f"{batch / best * 1000:.1f} img/s")
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -24,8 +79,10 @@ def main():
     from upgpt_tpu.inference.pipeline import GenerationPipeline
     from upgpt_tpu.utils.diagnostics import cast_floating
 
-    variant = sys.argv[1] if len(sys.argv) > 1 else "mm_512"
-    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    train = len(sys.argv) > 1 and sys.argv[1] == "train"
+    argv = sys.argv[2:] if train else sys.argv[1:]
+    variant = argv[0] if argv else "mm_512"
+    batch = int(argv[1]) if len(argv) > 1 else 8
     steps = 50
 
     on_tpu = jax.devices()[0].platform != "cpu"
@@ -48,6 +105,8 @@ def main():
     jax.block_until_ready(params)
     if on_tpu:
         params = cast_floating(params, jnp.bfloat16)
+    if train:
+        return bench_train(model, params, variant, batch)
     pipe = GenerationPipeline(model, num_steps=steps, eta=1.0,
                               output_uint8=True)
 

@@ -5,7 +5,8 @@ frozen kl-f8 VAE encode -> q_sample -> U-Net fwd+bwd -> AdamW -> EMA.
 Steps are chained through a lax.scan inside one jit so the axon tunnel's
 dispatch latency cancels (marginal-cost timing, same scheme as the micro
 benches). Pallas kernels (flash attention, fused GN, fused transformer) run
-in the forward; backwards are their XLA-recompute custom VJPs.
+in the forward; backwards are recompute custom VJPs, with the self-attention
+portion running the Pallas flash backward (ops/flash_attention.py).
 
 Usage: python benchmarks/bench_train.py [batch] [remat]
 """

@@ -78,13 +78,65 @@ def test_flash_gradients_match_reference():
     from upgpt_tpu.ops.flash_attention import _reference_attention
 
     def loss_flash(q, k, v):
-        with pltpu.force_tpu_interpret_mode():
-            return jnp.sum(flash_attention(q, k, v) ** 2)
+        return jnp.sum(flash_attention(q, k, v) ** 2)
 
     def loss_ref(q, k, v):
         return jnp.sum(_reference_attention(q, k, v) ** 2)
 
-    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    # backward kernel runs during the grad evaluation, so the interpret-mode
+    # scope must cover the whole grad call, not just the forward
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, bg in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bg),
+                                   atol=1e-4, rtol=1e-3)
+
+
+def test_flash_pallas_backward_d28():
+    """Pallas backward at the awkward 224ch/8-head geometry (d=28)."""
+    from upgpt_tpu.ops.flash_attention import _reference_attention
+
+    rng = np.random.default_rng(7)
+    b, h, t, d = 1, 2, 512, 28
+    q = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+    ct = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v) * ct)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_reference_attention(q, k, v) * ct)
+
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, bg in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bg),
+                                   atol=1e-4, rtol=1e-3)
+
+
+def test_flash_blocked_backward_long_t():
+    """Long-T shape through the two-pass blocked backward (512px regime)."""
+    from upgpt_tpu.ops.flash_attention import _reference_attention
+
+    b, h, t, d = 1, 1, 1280, 32
+    rng = np.random.default_rng(9)
+    q = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+    ct = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v) * ct)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_reference_attention(q, k, v) * ct)
+
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, bg in zip(g_flash, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bg),

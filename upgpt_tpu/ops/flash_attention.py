@@ -76,9 +76,11 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     Scale is 1/sqrt(D_logical) applied to fp32 scores inside the kernel
     (same math as the reference's two conventions; see ops/attention.py).
 
-    Differentiable: the forward runs the Pallas kernel; the backward
-    recomputes attention with the XLA formulation and differentiates that
-    (numerically identical math — a fused Pallas backward is future work).
+    Differentiable: the forward runs the Pallas kernel; the backward runs a
+    blocked two-pass Pallas kernel (dQ then dK/dV) for every shape the
+    forward qualifies, so the T^2 score/probability/dS intermediates never
+    touch HBM in training either. Non-kernel shapes fall back to the XLA
+    recompute formulation (numerically identical math).
     """
     return _flash_forward(q, k, v)
 
@@ -94,12 +96,145 @@ def _reference_attention(q, k, v):
     ).astype(q.dtype)
 
 
+def _attn_bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref,
+                        dq_ref, l_ref, di_ref, *, scale: float):
+    """Blocked backward, pass 1: dQ for one q-block against resident K/V.
+
+    Also emits the per-query softmax stats the dK/dV pass needs — the
+    logsumexp L (so pass 2 can rebuild normalized probabilities without a
+    row reduction over the full key axis) and Di = rowsum(dO * O).
+    """
+    f32 = jnp.float32
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    o = o_ref[0]
+    do = do_ref[0]
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    ) * scale  # (Bq, T)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    recip = 1.0 / denom
+    di = jnp.sum(do.astype(f32) * o.astype(f32), axis=-1, keepdims=True)
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    ds = p * ((dp - di) * recip)
+    dq = jax.lax.dot_general(
+        ds.astype(q.dtype), k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ) * scale
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    # stats rows live as (bh, 1, t) so the (1, 1, block) block shape meets
+    # Mosaic's (sublane % 8 or full-dim, lane % 128) block constraint
+    l_ref[0, 0] = jnp.squeeze(m + jnp.log(denom), -1)
+    di_ref[0, 0] = jnp.squeeze(di, -1)
+
+
+def _attn_bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, l_ref, di_ref,
+                         dk_ref, dv_ref, *, scale: float):
+    """Blocked backward, pass 2: dK/dV for one k-block against resident
+    Q/dO, using the stats of pass 1. exp(s - L) IS the normalized
+    probability, so no per-query reduction is needed here."""
+    f32 = jnp.float32
+    k = k_ref[0]
+    v = v_ref[0]
+    q = q_ref[0]
+    do = do_ref[0]
+    l_row = l_ref[0]   # (1, Tq)
+    di_row = di_ref[0]
+    st = jax.lax.dot_general(
+        k, q, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    ) * scale  # (Bk, Tq)
+    pn_t = jnp.exp(st - l_row)
+    dv = jax.lax.dot_general(
+        pn_t.astype(do.dtype), do,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    dp_t = jax.lax.dot_general(
+        v, do, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )  # (Bk, Tq)
+    ds_t = pn_t * (dp_t - di_row)
+    dk = jax.lax.dot_general(
+        ds_t.astype(q.dtype), q, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ) * scale
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_backward_blocked(q, k, v, o, do, block: int):
+    """Two-pass blocked flash backward for long T (3072 at 512px): the
+    (T, T) intermediates only ever exist block-row by block-row in VMEM.
+    (XLA's recompute backward materializes ~2.4 GB of fp32 scores per
+    transformer layer at the mm_512 training geometry, b=8.)"""
+    b, h, t, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    bh = b * h
+    flat = lambda x: x.reshape(bh, t, d)
+    qf, kf, vf, of, dof = map(flat, (q, k, v, o, do))
+    blk = lambda: pl.BlockSpec((1, block, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+    row_blk = pl.BlockSpec((1, 1, block), lambda i, j: (i, 0, j),
+                           memory_space=pltpu.VMEM)
+    row_full = pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grid = (bh, t // block)
+    dq, lse, di = pl.pallas_call(
+        functools.partial(_attn_bwd_dq_kernel, scale=scale),
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, t, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, 1, t), jnp.float32),
+            jax.ShapeDtypeStruct((bh, 1, t), jnp.float32),
+        ],
+        grid=grid,
+        in_specs=[blk(), full(), full(), blk(), blk()],
+        out_specs=[blk(), row_blk, row_blk],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * bh * t * t * d,
+            bytes_accessed=5 * bh * t * d * q.dtype.itemsize,
+            transcendentals=bh * t * t,
+        ),
+    )(qf, kf, vf, of, dof)
+    dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_dkv_kernel, scale=scale),
+        out_shape=[jax.ShapeDtypeStruct((bh, t, d), x.dtype) for x in (k, v)],
+        grid=grid,
+        in_specs=[blk(), blk(), full(), full(), row_full, row_full],
+        out_specs=[blk(), blk()],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * bh * t * t * d,
+            bytes_accessed=4 * bh * t * d * q.dtype.itemsize,
+            transcendentals=bh * t * t,
+        ),
+    )(kf, vf, qf, dof, lse, di)
+    unflat = lambda x: x.reshape(b, h, t, d)
+    return unflat(dq), unflat(dk), unflat(dv)
+
+
 def _flash_fwd_rule(q, k, v):
-    return _flash_forward(q, k, v), (q, k, v)
+    o = _flash_forward(q, k, v)
+    return o, (q, k, v, o)
 
 
 def _flash_bwd_rule(res, g):
-    q, k, v = res
+    q, k, v, o = res
+    b, h, t, d = q.shape
+    if t <= _MAX_RESIDENT_T and t % 256 == 0:
+        # qualify() guarantees this for every shape the forward kernel ran;
+        # a single-block whole-row variant measured VMEM-over-budget (18 MB
+        # scoped stack at T=768/d=28/bs12), so all T goes through the
+        # blocked two-pass kernel.
+        return _flash_backward_blocked(q, k, v, o, g, block=256)
     _, vjp = jax.vjp(_reference_attention, q, k, v)
     return vjp(g)
 
@@ -158,8 +293,13 @@ def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array,
         # full-T 0.63 < grid_bh full-T 0.78 < grid_bh 384 0.89 < XLA 1.76.
         # The headloop grid (one program per sample, all heads inside) wins
         # on DMA size/count; its VMEM footprint only fits for short T.
+        # Budget counts Mosaic's double-buffering of every block (x2 on the
+        # q/k/v/o arrays) plus two live fp32 score buffers — the deferred-
+        # normalization kernel keeps s and p alive across the PV matmul
+        # (measured 18.02 MB scoped stack at (12, 8, 768, 28) bf16, over
+        # the 16 MB limit; the blocked grid path handles that shape).
         d_pad = ((d + 127) // 128) * 128
-        vmem = 4 * h * t * d_pad * q.dtype.itemsize + t * t * 4 * 2
+        vmem = 2 * (4 * h * t * d_pad * q.dtype.itemsize) + 2 * t * t * 4
         if t <= 1024 and vmem <= 12 * 1024 * 1024:
             return _flash_forward_headloop(q, k, v, t)
         # 384 measured fastest on v5e for T=768 (vs 256/768); fall back to

@@ -24,8 +24,13 @@ Cross-attention K/V arrive packed (B, Tk, C), precomputed once per sample
 precompute_cross_kv); when absent (training), the raw context enters and
 K/V are projected in-kernel.
 
-Differentiable via custom VJP: Pallas forward, XLA-recompute backward
-through the jnp twin (`transformer_block_reference`) — identical math.
+Differentiable via custom VJP: Pallas forward, recompute backward through
+the jnp twin (`transformer_block_reference`) — identical math. With
+use_flash on (the TPU training path), the twin's self-attention routes
+through `flash_attention`, whose own custom VJP is a Pallas flash backward
+(ops/flash_attention.py) — so the T^2 score/probability tensors stay out
+of HBM in the backward too; only the block's matmul chain is re-derived
+by XLA.
 """
 
 from __future__ import annotations
