@@ -171,3 +171,34 @@ def test_qualify_counts_in_kernel_cross_projection():
     assert not fused_transformer_qualifies(192, 448, 8, 87,
                                            kv_precomputed=False,
                                            ctx_dim=16384)
+
+
+def test_fused_gradients_with_flash_attention():
+    """TPU training integration path: the fused block's VJP recompute routes
+    self-attention through flash_attention, whose own VJP is the blocked
+    Pallas backward — grads must equal the pure-XLA twin."""
+    b, h, w, c, heads = 1, 16, 32, 64, 4  # T = 512 -> flash qualifies
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(b, h, w, c)), jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(b, TK, c)), jnp.float32)
+    mod = SpatialTransformer(c, heads, c // heads, context_dim=c)
+    params = mod.init(jax.random.PRNGKey(0), x, ctx)["params"]
+    params = jax.tree.map(
+        lambda a: jnp.asarray(rng.normal(size=a.shape) * 0.05, a.dtype), params)
+    tokens = x.reshape(b, h * w, c)
+
+    def loss_fused(tok, p, c_):
+        return jnp.sum(
+            fused_transformer_block(tok, p, heads, c_, None, 1e-6, True) ** 2)
+
+    def loss_twin(tok, p, c_):
+        return jnp.sum(
+            transformer_block_reference(tok, p, heads, c_,
+                                        use_flash=False) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        g_f = jax.grad(loss_fused, argnums=(0, 1, 2))(tokens, params, ctx)
+    g_t = jax.grad(loss_twin, argnums=(0, 1, 2))(tokens, params, ctx)
+    for a, b_ in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_t)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-4, rtol=1e-3)
