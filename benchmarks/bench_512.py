@@ -103,10 +103,13 @@ def main():
 
     params = jax.jit(model.init_params)(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
+    if train:
+        # f32 master params/moments/EMA, exactly like training/trainer.py
+        # (bf16 is compute dtype only); casting masters here would halve
+        # the optimizer's HBM traffic and overstate throughput
+        return bench_train(model, params, variant, batch)
     if on_tpu:
         params = cast_floating(params, jnp.bfloat16)
-    if train:
-        return bench_train(model, params, variant, batch)
     pipe = GenerationPipeline(model, num_steps=steps, eta=1.0,
                               output_uint8=True)
 

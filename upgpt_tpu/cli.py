@@ -170,27 +170,48 @@ def _restore_params(model, ckpt_path, require_vae=True):
     return params
 
 
-def _tp_shard(model, params, tp):
+def _tp_shard(model, params, tp, batch_size=None):
     """Serving-side tensor parallelism (parallel/tp.py): 2D (data x model)
     mesh, Megatron split on the U-Net transformer matmuls. Returns
-    (params, put_batch) where put_batch device_puts a batch dict sharded on
-    the data axis. tp<=1 is a no-op."""
+    (model, params, put_batch) where put_batch device_puts a batch dict
+    sharded on the data axis. tp<=1 is a no-op.
+
+    The Pallas kernels are per-device programs GSPMD cannot partition, so
+    the TP model runs the XLA attention/GN path (tp.py scope note) — the
+    returned model is rebuilt with the fused-kernel flags off.
+    """
     if not tp or tp <= 1:
-        return params, lambda b: b
+        return model, params, lambda b: b
+    import dataclasses
+
     import jax
 
+    from upgpt_tpu.diffusion.latent_diffusion import LatentDiffusion
     from upgpt_tpu.parallel import tp as tp_mod
     from upgpt_tpu.parallel.mesh import batch_sharding, create_mesh
 
     n_dev = len(jax.devices())
     if n_dev % tp:
         raise SystemExit(f"--tp {tp} does not divide {n_dev} devices")
+    if batch_size and batch_size % (n_dev // tp):
+        raise SystemExit(
+            f"--batch {batch_size} does not divide the data axis "
+            f"({n_dev} devices / tp {tp} = {n_dev // tp} shards)")
+    cfg = dataclasses.replace(
+        model.config,
+        unet=dataclasses.replace(
+            model.config.unet, use_flash_attention=False,
+            use_fused_groupnorm=False, use_fused_transformer=False,
+        ),
+    )
+    model = LatentDiffusion(cfg)
     mesh = create_mesh((n_dev // tp, tp))
     tp_mod.validate_divisibility(
-        params, tp=tp, num_heads=model.config.unet.num_heads)
+        params, tp=tp, num_heads=cfg.unet.num_heads)
     params = tp_mod.shard_params(mesh, params)
     bsh = batch_sharding(mesh)
-    return params, lambda b: {k: jax.device_put(v, bsh) for k, v in b.items()}
+    return model, params, (
+        lambda b: {k: jax.device_put(v, bsh) for k, v in b.items()})
 
 
 def cmd_sample(cfg, args):
@@ -205,6 +226,8 @@ def cmd_sample(cfg, args):
     enc = _build_cond_encoder(
         cfg, model, allow_debug=getattr(args, "debug_encoder", False)
     )
+    model, params, put_batch = _tp_shard(
+        model, params, getattr(args, "tp", 1), batch_size=args.batch)
     samp = cfg.get("sampling") or {}
     pipe = GenerationPipeline(
         model,
@@ -219,7 +242,6 @@ def cmd_sample(cfg, args):
     raw = next(loader.epoch(0))
     batch = enc.encode_batch(raw)
     batch = {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
-    params, put_batch = _tp_shard(model, params, getattr(args, "tp", 1))
     imgs = np.asarray(
         pipe.generate(params, put_batch(batch), jax.random.PRNGKey(args.seed)))
     for i, img in enumerate(imgs):
@@ -242,6 +264,8 @@ def cmd_test(cfg, args):
     enc = _build_cond_encoder(
         cfg, model, allow_debug=getattr(args, "debug_encoder", False)
     )
+    model, params, put_batch = _tp_shard(
+        model, params, getattr(args, "tp", 1), batch_size=args.batch)
     samp = cfg.get("sampling") or {}
     pipe = GenerationPipeline(
         model, num_steps=args.steps or samp.get("ddim_steps", 200),
@@ -257,7 +281,6 @@ def cmd_test(cfg, args):
     # `reconstruction`, ddpm.py:1389-1393; mode() for determinism)
     recon_fn = jax.jit(lambda p, x: model.decode_first_stage(
         p, model.encode_first_stage_mode(p, x)))
-    params, put_batch = _tp_shard(model, params, getattr(args, "tp", 1))
     n = 0
     for raw in loader.epoch(0):
         batch = enc.encode_batch(raw)

@@ -212,8 +212,9 @@ def _flash_backward_blocked(q, k, v, o, do, block: int):
         in_specs=[blk(), blk(), full(), full(), row_full, row_full],
         out_specs=[blk(), blk()],
         cost_estimate=pl.CostEstimate(
-            flops=6 * bh * t * t * d,
-            bytes_accessed=4 * bh * t * d * q.dtype.itemsize,
+            flops=8 * bh * t * t * d,  # st, dv, dp_t, dk matmuls
+            bytes_accessed=(6 * bh * t * d * q.dtype.itemsize
+                            + 2 * bh * t * 4),
             transcendentals=bh * t * t,
         ),
     )(kf, vf, qf, dof, lse, di)
@@ -226,14 +227,29 @@ def _flash_fwd_rule(q, k, v):
     return o, (q, k, v, o)
 
 
+def _bwd_blocked_fits(t: int, d: int, itemsize: int, block: int = 256) -> bool:
+    """VMEM budget for one blocked-backward program: double-buffered
+    resident K/V (or Q/dO in pass 2), ~2 live fp32 (block, T) score-row
+    buffers, and the double-buffered (block, d) tiles. Calibrated against
+    measured points: (3072, 32, bf16) compiles and runs (~10 MB by this
+    model); the 16 MB scoped limit with margin -> 12 MB gate. Large-d f32
+    shapes (e.g. a flash VAE AttnBlock at T=1024, d=512) fall back to the
+    XLA recompute backward instead of failing Mosaic compilation."""
+    d_pad = ((d + _LANES - 1) // _LANES) * _LANES
+    vmem = (2 * 2 * t * d_pad * itemsize      # resident pair, double-buffered
+            + 2 * block * t * 4               # live fp32 score rows
+            + 4 * 2 * block * d_pad * itemsize)  # per-block tiles
+    return vmem <= 12 * 1024 * 1024
+
+
 def _flash_bwd_rule(res, g):
     q, k, v, o = res
     b, h, t, d = q.shape
-    if t <= _MAX_RESIDENT_T and t % 256 == 0:
-        # qualify() guarantees this for every shape the forward kernel ran;
+    if (t <= _MAX_RESIDENT_T and t % 256 == 0
+            and _bwd_blocked_fits(t, d, q.dtype.itemsize)):
         # a single-block whole-row variant measured VMEM-over-budget (18 MB
-        # scoped stack at T=768/d=28/bs12), so all T goes through the
-        # blocked two-pass kernel.
+        # scoped stack at T=768/d=28/bs12), so every kernel-backward shape
+        # goes through the blocked two-pass kernel.
         return _flash_backward_blocked(q, k, v, o, g, block=256)
     _, vjp = jax.vjp(_reference_attention, q, k, v)
     return vjp(g)

@@ -59,11 +59,17 @@ def _spec_for(keys, shape, axis: str, shard_convs: bool):
             return P(axis, None) if leaf == "kernel" else P()
         if grand == "ff" or parent in ("proj_in", "proj_out"):
             # ff.proj_in / transformer proj_in are column-parallel;
-            # ff.proj_out / transformer proj_out are row-parallel
-            name = parent if grand == "ff" else parent
-            if name == "proj_in":
+            # ff.proj_out / transformer proj_out are row-parallel.
+            # Known cost: GEGLU splits proj_in's (C, 8C) output into
+            # contiguous xh/gate halves (unet.py GEGLUFeedForward), so the
+            # column shards do not align with the halves and GSPMD moves a
+            # half-FF-width activation per block for the gating multiply; a
+            # Megatron-exact layout would interleave the halves per shard,
+            # which requires permuting converted checkpoint columns — not
+            # worth the converter coupling at current scale.
+            if parent == "proj_in":
                 return P(None, axis) if leaf == "kernel" else P(axis)
-            if name == "proj_out":
+            if parent == "proj_out":
                 return P(axis, None) if leaf == "kernel" else P()
         return P()  # norms etc.
     if shard_convs and leaf == "kernel" and len(shape) == 4 and shape[-1] % 8 == 0:
