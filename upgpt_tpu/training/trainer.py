@@ -182,6 +182,7 @@ class Trainer:
         (self.logdir / "images").mkdir(parents=True, exist_ok=True)
         self._metrics_log = open(self.logdir / "metrics.jsonl", "a")
         self._ckpt = None  # orbax checkpointer, lazy
+        self._pending_save = None  # in-flight async checkpoint writer
         # optional TensorBoard event stream (the TestTube logger equivalent,
         # main.py:615-639); degrades to jsonl-only if tensorboard is absent
         try:
@@ -252,22 +253,47 @@ class Trainer:
             payload["frozen"] = frozen
         return payload
 
+    def _join_pending_save(self) -> None:
+        if self._pending_save is not None:
+            self._pending_save.join()
+            self._pending_save = None
+
     def save_checkpoint(self, state: TrainState, frozen, name: str = "last",
-                        epoch: Optional[int] = None) -> None:
+                        epoch: Optional[int] = None, wait: bool = True) -> None:
+        """Checkpoint save (SURVEY §5: orbax async checkpointing).
+
+        The device->host snapshot is taken synchronously (so the saved state
+        is exactly the one at the call), then the orbax write runs on a
+        worker thread when wait=False — the per-epoch scheduled saves don't
+        stall training on disk IO. Exception/SIGUSR1/final saves keep
+        wait=True. At most one save is in flight; a new save (or a restore)
+        joins the previous writer first.
+        """
+        self._join_pending_save()
         path = (self.logdir / "checkpoints" / name).absolute()
         ckpt = self._checkpointer()
-        ckpt.save(
-            path, jax.device_get(self._payload(state, frozen)), force=True
-        )
-        ckpt.wait_until_finished()  # StandardCheckpointer saves async
-        if epoch is not None:
-            # sidecar epoch record: deriving the epoch from step//len(loader)
-            # breaks after a batch-size or dataset change (Lightning restores
-            # the epoch counter from the ckpt; so do we)
-            import json as _json
+        payload = jax.device_get(self._payload(state, frozen))
 
-            meta = self.logdir / "checkpoints" / f"{name}.meta.json"
-            meta.write_text(_json.dumps({"epoch": int(epoch)}))
+        def _write():
+            ckpt.save(path, payload, force=True)
+            ckpt.wait_until_finished()  # StandardCheckpointer saves async
+            if epoch is not None:
+                # sidecar epoch record: deriving the epoch from
+                # step//len(loader) breaks after a batch-size or dataset
+                # change (Lightning restores the epoch counter from the
+                # ckpt; so do we)
+                import json as _json
+
+                meta = self.logdir / "checkpoints" / f"{name}.meta.json"
+                meta.write_text(_json.dumps({"epoch": int(epoch)}))
+
+        if wait:
+            _write()
+        else:
+            import threading
+
+            self._pending_save = threading.Thread(target=_write, daemon=True)
+            self._pending_save.start()
 
     def _load_epoch_meta(self, name: str = "last") -> Optional[int]:
         import json as _json
@@ -280,10 +306,13 @@ class Trainer:
     def load_checkpoint(self, state: TrainState, frozen=None, name: str = "last"):
         """Restore into the live state's pytree structure (optax NamedTuples
         survive because the reference tree drives the restore).
+        Joins any in-flight async save first so the restore never races a
+        half-written checkpoint.
 
         Returns (state, frozen): `frozen` is the checkpoint's stored first
         stage when present, else the caller's (pre-payload checkpoints).
         """
+        self._join_pending_save()
         path = (self.logdir / "checkpoints" / name).absolute()
         ref = jax.device_get(self._payload(state, frozen))
         if frozen is None:
@@ -511,11 +540,11 @@ class Trainer:
                         best = monitored
                         bad_epochs = 0
                         self.save_checkpoint(state, frozen_params, "best",
-                                             epoch=epoch + 1)
+                                             epoch=epoch + 1, wait=False)
                     else:
                         bad_epochs += 1
                 self.save_checkpoint(state, frozen_params, "last",
-                                     epoch=epoch + 1)
+                                     epoch=epoch + 1, wait=False)
                 if stop:
                     break
                 if (cfg.early_stop_patience is not None and val_loader is not None
@@ -528,4 +557,5 @@ class Trainer:
             self.save_checkpoint(state, frozen_params, "last",
                                  epoch=locals().get("epoch", start_epoch))
             raise
+        self._join_pending_save()
         return state
