@@ -141,3 +141,13 @@ def test_flash_blocked_backward_long_t():
     for a, bg in zip(g_flash, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bg),
                                    atol=1e-4, rtol=1e-3)
+
+
+def test_bwd_blocked_vmem_gate():
+    """Kernel-vs-XLA backward dispatch boundaries (measured on v5e)."""
+    from upgpt_tpu.ops.flash_attention import _bwd_blocked_fits
+
+    assert _bwd_blocked_fits(768, 28, 2)      # 256px train, bf16
+    assert _bwd_blocked_fits(3072, 32, 2)     # mm_512 train, bf16 (measured)
+    assert _bwd_blocked_fits(768, 512, 2)     # VAE attn @256px, bf16
+    assert not _bwd_blocked_fits(1024, 512, 4)  # VAE attn f32 -> XLA path
