@@ -116,6 +116,41 @@ def test_checkpoint_carries_frozen_vae(tmp_path, loaders):
                for a, b in zip(want, got2))
 
 
+def test_async_save_failure_surfaces_on_next_join(tmp_path, loaders):
+    """A wait=False checkpoint write that dies on the worker thread must not
+    vanish: the next join point (another save, a restore, end of fit) raises
+    so the trainer never silently believes the epoch checkpoint exists."""
+    train, val = loaders
+    model = LatentDiffusion(tiny_config())
+    enc = DebugConditioningEncoder(context_dim=64, text_len=7)
+    cfg = TrainerConfig(
+        base_learning_rate=1e-4, scale_lr=False, batch_size=2, max_epochs=1,
+        log_every=1, log_images_every=None, logdir=str(tmp_path / "run"),
+        early_stop_patience=None, warm_up_steps=1,
+    )
+    trainer = Trainer(model, cfg, enc)
+
+    class _Boom:
+        def save(self, *a, **k):
+            raise OSError("disk full")
+
+        def wait_until_finished(self):
+            pass
+
+    trainer._ckpt = _Boom()
+    from upgpt_tpu.training.train_state import create_train_state
+
+    params = model.init_params(jax.random.PRNGKey(0))
+    params.pop("vae")
+    state = create_train_state(params, 1e-4, use_ema=True)
+
+    trainer.save_checkpoint(state, None, "last", epoch=1, wait=False)
+    with pytest.raises(RuntimeError, match="async checkpoint save failed"):
+        trainer._join_pending_save()
+    # the failure is reported once, then cleared
+    trainer._join_pending_save()
+
+
 def test_lr_scaling_rule():
     from upgpt_tpu.training.train_state import scaled_learning_rate
 

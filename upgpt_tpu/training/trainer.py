@@ -255,8 +255,14 @@ class Trainer:
 
     def _join_pending_save(self) -> None:
         if self._pending_save is not None:
-            self._pending_save.join()
+            thread, err = self._pending_save
+            thread.join()
             self._pending_save = None
+            # a swallowed write failure would leave the trainer believing the
+            # epoch checkpoint exists; surface it at the next join point
+            if err:
+                raise RuntimeError(
+                    f"async checkpoint save failed: {err[0]!r}") from err[0]
 
     def save_checkpoint(self, state: TrainState, frozen, name: str = "last",
                         epoch: Optional[int] = None, wait: bool = True) -> None:
@@ -292,8 +298,17 @@ class Trainer:
         else:
             import threading
 
-            self._pending_save = threading.Thread(target=_write, daemon=True)
-            self._pending_save.start()
+            err = []
+
+            def _guarded():
+                try:
+                    _write()
+                except BaseException as exc:  # noqa: BLE001 — re-raised on join
+                    err.append(exc)
+
+            thread = threading.Thread(target=_guarded, daemon=True)
+            self._pending_save = (thread, err)
+            thread.start()
 
     def _load_epoch_meta(self, name: str = "last") -> Optional[int]:
         import json as _json
@@ -553,7 +568,12 @@ class Trainer:
                           f"(no {cfg.monitor} improvement for {bad_epochs} epochs)")
                     break
         except BaseException:
-            # save-on-exception (main.py:792-796); redo the interrupted epoch
+            # save-on-exception (main.py:792-796); redo the interrupted epoch.
+            # A failed in-flight epoch save must not mask the original
+            # exception — drop it (the synchronous save below rewrites "last").
+            if self._pending_save is not None:
+                self._pending_save[0].join()
+                self._pending_save = None
             self.save_checkpoint(state, frozen_params, "last",
                                  epoch=locals().get("epoch", start_epoch))
             raise
