@@ -52,6 +52,12 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from upgpt_tpu.utils.compile_cache import enable_persistent_cache
+
+    # persistent XLA cache: compile+first-run 196 s cold -> 30 s warm on the
+    # same chip (utils/compile_cache.py); throughput numbers are unaffected
+    enable_persistent_cache()
+
     from upgpt_tpu.diffusion.latent_diffusion import (
         LatentDiffusion, LatentDiffusionConfig,
     )

@@ -27,3 +27,21 @@ def test_nan_guard():
 def test_count_params():
     tree = {"a": np.zeros((2, 3)), "b": {"c": np.zeros((4,))}}
     assert count_params(tree) == 10
+
+
+def test_persistent_compile_cache_config(tmp_path, monkeypatch):
+    """enable_persistent_cache points jax at the dir (explicit > env >
+    default) and creates it; compiled programs then persist across
+    processes (measured on-chip: 196 s cold -> 30 s warm, docs/PERF.md)."""
+    import jax
+    from upgpt_tpu.utils.compile_cache import enable_persistent_cache
+
+    explicit = tmp_path / "explicit"
+    assert enable_persistent_cache(str(explicit)) == str(explicit)
+    assert explicit.is_dir()
+    assert jax.config.jax_compilation_cache_dir == str(explicit)
+
+    env_dir = tmp_path / "from_env"
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(env_dir))
+    assert enable_persistent_cache() == str(env_dir)
+    assert env_dir.is_dir()

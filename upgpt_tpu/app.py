@@ -227,6 +227,9 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=7860)
     args = p.parse_args(argv)
 
+    from upgpt_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     from upgpt_tpu.cli import _build_cond_encoder, _restore_params
     from upgpt_tpu.config import instantiate_from_config, merge_configs
 

@@ -478,6 +478,9 @@ def main(argv=None):
                             help="convert the model_ema shadow weights "
                                  "(the released eval protocol, ema_scope)")
     args = p.parse_args(argv)
+    from upgpt_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # warm process restarts skip the 1-10 min compile
     cfg = merge_configs(args.base, args.overrides) if args.base else {}
     {"train": cmd_train, "train-vae": cmd_train_vae, "sample": cmd_sample,
      "test": cmd_test, "eval": cmd_eval,
