@@ -1,0 +1,99 @@
+"""Serving-engine throughput/latency on the flagship interp_256 model.
+
+Streams N_REQ independent requests (each its own conditioning) through
+inference.serving.ServingEngine at the serving batch size and reports
+sustained request throughput plus queueing+compute latency percentiles.
+Usage: python benchmarks/bench_serving.py [batch] [n_batches]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from upgpt_tpu.diffusion.latent_diffusion import (
+        LatentDiffusion, LatentDiffusionConfig,
+    )
+    from upgpt_tpu.inference.pipeline import GenerationPipeline
+    from upgpt_tpu.inference.serving import ServingEngine
+    from upgpt_tpu.models.unet import UNetConfig
+    from upgpt_tpu.models.vae import AutoencoderConfig
+    from upgpt_tpu.utils.compile_cache import enable_persistent_cache
+    from upgpt_tpu.utils.diagnostics import cast_floating
+
+    enable_persistent_cache()
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform != "cpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    cfg = LatentDiffusionConfig.interp_256(
+        unet=UNetConfig.interp_256(
+            dtype=dtype, use_fused_groupnorm=on_tpu,
+            use_fused_transformer=on_tpu,
+        ),
+        vae=AutoencoderConfig.kl_f8(dtype=dtype, use_flash_attention=on_tpu),
+    )
+    model = LatentDiffusion(cfg)
+    params = jax.jit(model.init_params)(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    if on_tpu:
+        params = cast_floating(params, jnp.bfloat16)
+    pipe = GenerationPipeline(model, num_steps=50, eta=1.0, output_uint8=True)
+
+    h, w = cfg.latent_size
+    rng = np.random.default_rng(0)
+
+    def cond(i):
+        return {
+            "text_emb": rng.normal(size=(77, 768)).astype(np.float32),
+            "style_emb": rng.normal(size=(9, 768)).astype(np.float32),
+            "smpl": rng.normal(size=(1, 85)).astype(np.float32),
+            "person_mask": rng.choice(
+                [-1.0, -0.99215686], size=(h, w, 1)).astype(np.float32),
+        }
+
+    eng = ServingEngine(pipe, params, batch_size=batch, max_delay_s=0.1)
+    eng.start()
+    # warmup batch (compile / cache load)
+    t0 = time.perf_counter()
+    warm = [eng.submit(cond(i)) for i in range(batch)]
+    [f.result() for f in warm]
+    print(f"warmup (compile/load): {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+    eng.stats.latencies_s.clear()
+    warm_batches = eng.stats.batches
+
+    n_req = batch * n_batches
+    t0 = time.perf_counter()
+    futs = [eng.submit(cond(i)) for i in range(n_req)]
+    outs = [f.result() for f in futs]
+    dt = time.perf_counter() - t0
+    eng.stop()
+    assert all(o.dtype == np.uint8 for o in outs)
+
+    s = eng.stats.summary()
+    print(f"{n_req} requests in {dt:.2f}s over "
+          f"{eng.stats.batches - warm_batches} batches "
+          f"(occupancy incl. warmup {s['occupancy']:.2f})", file=sys.stderr)
+    print(json.dumps({
+        "metric": "serving_requests_per_sec_256px_ddim50",
+        "value": round(n_req / dt, 3),
+        "unit": "req/s",
+        "p50_latency_s": s["p50_latency_s"],
+        "p95_latency_s": s["p95_latency_s"],
+    }))
+
+
+if __name__ == "__main__":
+    main()

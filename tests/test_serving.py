@@ -1,0 +1,106 @@
+"""Serving engine: batch packing, padding, pipelining, failure isolation."""
+
+import time
+
+import numpy as np
+import jax
+import pytest
+
+from upgpt_tpu.diffusion.latent_diffusion import LatentDiffusion
+from upgpt_tpu.inference.pipeline import GenerationPipeline
+from upgpt_tpu.inference.serving import ServingEngine
+
+from test_latent_diffusion import tiny_config
+
+
+def _cond(seed, h=8, w=8):
+    rng = np.random.default_rng(seed)
+    return {
+        "text_emb": rng.normal(size=(7, 64)).astype(np.float32),
+        "style_emb": rng.normal(size=(9, 64)).astype(np.float32),
+        "smpl": rng.normal(size=(1, 85)).astype(np.float32),
+        "person_mask": rng.normal(size=(h, w, 1)).astype(np.float32),
+    }
+
+
+@pytest.fixture(scope="module")
+def engine_parts():
+    model = LatentDiffusion(tiny_config())
+    params = model.init_params(jax.random.PRNGKey(0))
+    pipe = GenerationPipeline(model, num_steps=5, eta=0.0)
+    return pipe, params
+
+
+def test_padded_tail_batch_matches_direct_call(engine_parts):
+    """3 requests into a batch-4 engine: results equal the engine's exact
+    batch recipe run directly (same padding rule, same fold_in key), and
+    each future receives its own row."""
+    pipe, params = engine_parts
+    eng = ServingEngine(pipe, params, batch_size=4, max_delay_s=0.05)
+    eng.start()
+    conds = [_cond(i) for i in range(3)]
+    futs = [eng.submit(c) for c in conds]
+    outs = [f.result(timeout=120) for f in futs]
+    eng.stop()
+
+    assert eng.stats.summary()["requests"] == 3
+    assert eng.stats.batches >= 1
+    # engine recipe: pad with the last request's row, key = fold_in(base, 0)
+    batch = {
+        k: np.stack([c[k] for c in conds] + [conds[-1][k]])
+        for k in conds[0]
+    }
+    want = np.asarray(pipe.generate(
+        params, batch, jax.random.fold_in(jax.random.PRNGKey(0), 0)))
+    for i, out in enumerate(outs):
+        assert out.shape == want.shape[1:]
+        np.testing.assert_allclose(out, want[i], atol=1e-5)
+
+
+def test_many_requests_multiple_batches(engine_parts):
+    pipe, params = engine_parts
+    eng = ServingEngine(pipe, params, batch_size=2, max_delay_s=0.02)
+    eng.start()
+    futs = [eng.submit(_cond(i)) for i in range(5)]
+    outs = [f.result(timeout=300) for f in futs]
+    eng.stop()
+    assert all(o.shape == outs[0].shape for o in outs)
+    s = eng.stats.summary()
+    assert s["requests"] == 5
+    assert eng.stats.batches == 3  # 2 + 2 + padded tail
+    assert eng.stats.padded_slots == 1
+    assert s["p95_latency_s"] >= s["p50_latency_s"] > 0
+
+
+def test_bad_request_fails_only_its_batch(engine_parts):
+    pipe, params = engine_parts
+    eng = ServingEngine(pipe, params, batch_size=2, max_delay_s=0.01)
+    eng.start()
+    bad = _cond(0)
+    bad["text_emb"] = bad["text_emb"][:, :32]  # wrong embedding width
+    f_bad = eng.submit(bad)
+    with pytest.raises(Exception):
+        f_bad.result(timeout=120)
+    # engine keeps serving after the failed batch
+    f_ok = eng.submit(_cond(1))
+    assert f_ok.result(timeout=120).shape[-1] == 3
+    eng.stop()
+
+
+def test_submit_before_start_raises(engine_parts):
+    pipe, params = engine_parts
+    eng = ServingEngine(pipe, params, batch_size=2)
+    with pytest.raises(RuntimeError):
+        eng.submit(_cond(0))
+
+
+def test_stop_drains_queue(engine_parts):
+    """Requests still queued when stop() is called are served, not dropped."""
+    pipe, params = engine_parts
+    eng = ServingEngine(pipe, params, batch_size=2, max_delay_s=5.0)
+    eng.start()
+    futs = [eng.submit(_cond(i)) for i in range(3)]
+    time.sleep(0.01)
+    eng.stop()  # drain: no 5 s window at shutdown
+    for f in futs:
+        assert f.result(timeout=120) is not None

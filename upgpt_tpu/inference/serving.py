@@ -1,0 +1,212 @@
+"""Production serving engine: request batching over the jitted sampler.
+
+The reference has no serving layer — its app (app.py:262-278) runs one
+Streamlit request at a time through a 200-step sampler. On TPU the economics
+invert: the sampler is ONE compiled XLA program whose throughput comes from
+batch occupancy (27.7 img/s at batch 32 vs ~0.8 img/s at batch 1 on v5e,
+docs/PERF.md), so a serving layer must pack concurrent requests into full
+static-shape batches. This engine productizes the pattern bench.py measures:
+
+- requests (conditioning embeddings + mask) enter a queue and are packed
+  into fixed-size batches — a batching window (`max_delay_s`) trades tail
+  latency for occupancy, and the tail batch is padded to the static batch
+  shape so ONE compiled program serves every composition (no recompiles,
+  no dynamic shapes);
+- one batch stays in flight: batch i+1 is dispatched (JAX async dispatch)
+  before batch i's device->host transfer is fenced, so the device never
+  idles between batches — the steady-state serving pattern;
+- per-request futures deliver sliced results; a failed batch fails only
+  its own requests and the engine keeps serving.
+
+Determinism: each batch's RNG key is fold_in(base_key, batch_counter), so a
+result is reproducible given (base_key, batch composition and order). True
+per-request noise isolation is not a goal here — the eval protocol's
+stochastic eta=1.0 draws are batch-shaped by design (ddim.py).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+
+@dataclass
+class ServingStats:
+    requests: int = 0
+    images: int = 0          # includes padding
+    batches: int = 0
+    padded_slots: int = 0
+    latencies_s: List[float] = field(default_factory=list)
+
+    def summary(self) -> Dict[str, float]:
+        lat = sorted(self.latencies_s)
+        pick = lambda q: lat[min(len(lat) - 1, int(q * len(lat)))] if lat else 0.0
+        occ = (self.requests / self.images) if self.images else 0.0
+        return {
+            "requests": self.requests,
+            "batches": self.batches,
+            "occupancy": round(occ, 4),
+            "p50_latency_s": round(pick(0.50), 4),
+            "p95_latency_s": round(pick(0.95), 4),
+        }
+
+
+class ServingEngine:
+    """Batch-packing serving loop around a GenerationPipeline.
+
+    >>> eng = ServingEngine(pipe, params, batch_size=32)
+    >>> eng.start()
+    >>> fut = eng.submit({"text_emb": ..., "style_emb": ..., "smpl": ...,
+    ...                   "person_mask": ...})
+    >>> image = fut.result()          # (H, W, C) numpy
+    >>> eng.stop()
+    """
+
+    def __init__(
+        self,
+        pipeline,
+        params,
+        batch_size: int = 32,
+        max_delay_s: float = 0.25,
+        base_seed: int = 0,
+    ):
+        self.pipeline = pipeline
+        self.params = params
+        self.batch_size = int(batch_size)
+        self.max_delay_s = float(max_delay_s)
+        self.base_seed = int(base_seed)
+        self.stats = ServingStats()
+        self._queue: "queue.Queue" = queue.Queue()
+        self._thread: Optional[threading.Thread] = None
+        self._stopping = threading.Event()
+
+    # ------------------------------------------------------------- client
+
+    def submit(self, cond: Dict[str, Any]) -> Future:
+        """Enqueue one request; returns a Future of the (H, W, C) image.
+
+        `cond` carries per-sample conditioning WITHOUT the batch dim:
+        text_emb (77, 768), optional style_emb (9, 768), smpl (1, 85),
+        person_mask (h, w, 1). Shapes must match the engine's model variant
+        — every request in a batch shares the compiled program.
+        """
+        if self._thread is None:
+            raise RuntimeError("engine not started")
+        fut: Future = Future()
+        self._queue.put((cond, fut, time.perf_counter()))
+        return fut
+
+    def start(self) -> None:
+        if self._thread is not None:
+            return
+        self._stopping.clear()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        """Drain the queue, serve what remains, and join the loop."""
+        if self._thread is None:
+            return
+        self._stopping.set()
+        self._queue.put(None)  # wake the dispatcher
+        self._thread.join()
+        self._thread = None
+
+    # ---------------------------------------------------------- dispatcher
+
+    def _collect(self, wait: bool) -> List:
+        """One batch worth of requests; [] when none are available.
+
+        `wait=False` (a batch is in flight): return immediately on an empty
+        queue so the caller can fence the in-flight batch instead of
+        blocking — otherwise a lone request's future would hang until the
+        NEXT request arrived. `wait=True`: block for the first request, then
+        fill up to batch_size within the batching window. The shutdown
+        sentinel (None) stops collection; a collected tail is still served.
+        """
+        items: List = []
+        try:
+            if wait and not self._stopping.is_set():
+                first = self._queue.get()
+            else:
+                first = self._queue.get_nowait()
+        except queue.Empty:
+            return items
+        if first is not None:
+            items.append(first)
+        deadline = time.perf_counter() + self.max_delay_s
+        while len(items) < self.batch_size:
+            remaining = deadline - time.perf_counter()
+            if self._stopping.is_set():
+                # no window at shutdown: just drain whatever is queued
+                remaining = 0.0
+            try:
+                nxt = self._queue.get(timeout=max(remaining, 0.0))
+            except queue.Empty:
+                break
+            if nxt is None:
+                break
+            items.append(nxt)
+        return items
+
+    def _pack(self, items: List) -> Dict[str, Any]:
+        """Pad request conditionings to the static batch shape."""
+        n_pad = self.batch_size - len(items)
+        conds = [it[0] for it in items]
+        keys = conds[0].keys()
+        batch = {}
+        for k in keys:
+            rows = [np.asarray(c[k]) for c in conds]
+            rows += [rows[-1]] * n_pad  # padded slots recompute the last row
+            batch[k] = np.stack(rows)
+        return batch
+
+    def _run(self) -> None:
+        import jax
+
+        base_key = jax.random.PRNGKey(self.base_seed)
+        prev = None  # (device_out, items, t_dispatch)
+
+        def fence(entry):
+            out, items, _ = entry
+            t_done = time.perf_counter()
+            try:
+                host = np.asarray(out)
+            except Exception as exc:  # noqa: BLE001 — fail that batch only
+                for _, fut, _ in items:
+                    fut.set_exception(exc)
+                return
+            for i, (_, fut, t_in) in enumerate(items):
+                self.stats.latencies_s.append(t_done - t_in)
+                fut.set_result(host[i])
+
+        while True:
+            items = self._collect(wait=prev is None)
+            if not items:
+                if prev is not None:
+                    fence(prev)
+                    prev = None
+                if self._stopping.is_set() and self._queue.empty():
+                    return
+                continue
+            try:
+                batch = self._pack(items)
+                key = jax.random.fold_in(base_key, self.stats.batches)
+                out = self.pipeline.generate(self.params, batch, key)
+            except Exception as exc:  # noqa: BLE001 — shape/tracing errors
+                for _, fut, _ in items:
+                    fut.set_exception(exc)
+                continue
+            self.stats.batches += 1
+            self.stats.requests += len(items)
+            self.stats.images += self.batch_size
+            self.stats.padded_slots += self.batch_size - len(items)
+            if prev is not None:
+                fence(prev)  # overlap: current batch computes during this d2h
+            prev = (out, items, time.perf_counter())
