@@ -87,6 +87,37 @@ def test_bad_request_fails_only_its_batch(engine_parts):
     eng.stop()
 
 
+def test_mesh_sharded_serving_matches_single_device(engine_parts):
+    """DP serving over an 8-device mesh returns the same images as the
+    unsharded engine (jit scales the same program; padding included)."""
+    from upgpt_tpu.parallel.mesh import create_mesh
+
+    pipe, params = engine_parts
+    conds = [_cond(i) for i in range(5)]  # 5 -> one padded batch of 8
+
+    def run(mesh):
+        eng = ServingEngine(pipe, params, batch_size=8, max_delay_s=0.05,
+                            mesh=mesh)
+        eng.start()
+        outs = [f.result(timeout=300) for f in [eng.submit(c) for c in conds]]
+        eng.stop()
+        return outs
+
+    single = run(None)
+    mesh = create_mesh((8, 1))
+    sharded = run(mesh)
+    for a, b in zip(single, sharded):
+        np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_mesh_batch_divisibility_checked(engine_parts):
+    from upgpt_tpu.parallel.mesh import create_mesh
+
+    pipe, params = engine_parts
+    with pytest.raises(ValueError, match="not divisible"):
+        ServingEngine(pipe, params, batch_size=6, mesh=create_mesh((8, 1)))
+
+
 def test_submit_before_start_raises(engine_parts):
     pipe, params = engine_parts
     eng = ServingEngine(pipe, params, batch_size=2)

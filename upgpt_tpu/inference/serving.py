@@ -75,12 +75,30 @@ class ServingEngine:
         batch_size: int = 32,
         max_delay_s: float = 0.25,
         base_seed: int = 0,
+        mesh=None,
     ):
+        """`mesh`: optional jax.sharding.Mesh for data-parallel serving —
+        each packed batch is sharded over the mesh's `data` axis and the
+        params are replicated once, so jit scales the SAME compiled
+        program over every chip (batch_size must divide by the data-axis
+        size). One-chip serving passes mesh=None and is unchanged."""
         self.pipeline = pipeline
         self.params = params
         self.batch_size = int(batch_size)
         self.max_delay_s = float(max_delay_s)
         self.base_seed = int(base_seed)
+        self.mesh = mesh
+        if mesh is not None:
+            import jax
+
+            from upgpt_tpu.parallel.mesh import replicated_sharding
+
+            n_data = mesh.shape["data"]
+            if self.batch_size % n_data:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by the mesh "
+                    f"data axis ({n_data})")
+            self.params = jax.device_put(params, replicated_sharding(mesh))
         self.stats = ServingStats()
         self._queue: "queue.Queue" = queue.Queue()
         self._thread: Optional[threading.Thread] = None
@@ -197,6 +215,10 @@ class ServingEngine:
                 continue
             try:
                 batch = self._pack(items)
+                if self.mesh is not None:
+                    from upgpt_tpu.parallel.mesh import shard_batch
+
+                    batch = shard_batch(self.mesh, batch)
                 key = jax.random.fold_in(base_key, self.stats.batches)
                 out = self.pipeline.generate(self.params, batch, key)
             except Exception as exc:  # noqa: BLE001 — shape/tracing errors
