@@ -29,9 +29,10 @@ from __future__ import annotations
 import queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, Optional
 
 import numpy as np
 
@@ -42,7 +43,8 @@ class ServingStats:
     images: int = 0          # includes padding
     batches: int = 0
     padded_slots: int = 0
-    latencies_s: List[float] = field(default_factory=list)
+    # bounded window: a long-running server must not grow without limit
+    latencies_s: deque = field(default_factory=lambda: deque(maxlen=10000))
 
     def summary(self) -> Dict[str, float]:
         lat = sorted(self.latencies_s)
