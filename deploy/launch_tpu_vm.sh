@@ -34,7 +34,7 @@ gcloud compute tpus tpu-vm scp --recurse --worker=all --zone "$ZONE" \
 
 echo "[deploy] starting training on all hosts" >&2
 gcloud compute tpus tpu-vm ssh "$TPU_NAME" --zone "$ZONE" --worker=all \
-  --command "cd ~/upgpt_tpu_repo && nohup bash deploy/preemptible_train.sh '$CONFIG' $* > train.log 2>&1 & echo started"
+  --command "cd ~/upgpt_tpu_repo && nohup bash deploy/preemptible_train.sh '$CONFIG' --multihost $* > train.log 2>&1 & echo started"
 
 echo "[deploy] tail logs with:" >&2
 echo "  gcloud compute tpus tpu-vm ssh $TPU_NAME --zone $ZONE --command 'tail -f ~/upgpt_tpu_repo/train.log'" >&2

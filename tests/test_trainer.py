@@ -195,3 +195,47 @@ def test_compact_transport_exact_for_uint8_sourced_images():
     enc2 = encode_transport({"person_mask": cont})
     assert enc2["person_mask"].dtype == np.float32
     np.testing.assert_array_equal(enc2["person_mask"], cont)
+
+
+def test_trainstep_snapshots_and_sigusr2(tmp_path, loaders):
+    """Periodic weight-only snapshots (ModelCheckpoint every_n_train_steps +
+    save_weights_only, reference main.py:707-723) and the SIGUSR2
+    introspection hook (reference main.py:784-788)."""
+    import os
+    import signal as _signal
+
+    train, val = loaders
+    model = LatentDiffusion(tiny_config())
+    enc = DebugConditioningEncoder(context_dim=64, text_len=7)
+    cfg = TrainerConfig(
+        base_learning_rate=1e-4, scale_lr=False, batch_size=2, max_epochs=2,
+        log_every=1, log_images_every=None, logdir=str(tmp_path / "run"),
+        early_stop_patience=None, warm_up_steps=1, ckpt_every_steps=1,
+    )
+    trainer = Trainer(model, cfg, enc)
+
+    fired = []
+    orig = _signal.getsignal(_signal.SIGUSR2)
+    try:
+        state = trainer.fit(train, val)
+        # handler was installed by fit; exercise it like a supervisor would
+        handler = _signal.getsignal(_signal.SIGUSR2)
+        assert callable(handler) and handler is not orig
+        handler(_signal.SIGUSR2, None)
+        fired.append(True)
+    finally:
+        _signal.signal(_signal.SIGUSR2, orig)
+    assert fired
+
+    steps = int(state.step)
+    assert steps >= 1
+    snaps = sorted(p.name for p in (tmp_path / "run" / "checkpoints").iterdir()
+                   if p.name.startswith("trainstep_") and p.is_dir())
+    assert snaps == [f"trainstep_{s:09d}" for s in range(1, steps + 1)]
+
+    # weights-only payload: params (+ema) travel, optimizer state does not
+    import orbax.checkpoint as ocp
+
+    raw = ocp.StandardCheckpointer().restore(
+        (tmp_path / "run" / "checkpoints" / snaps[-1]).absolute())
+    assert "params" in raw and "opt_state" not in raw

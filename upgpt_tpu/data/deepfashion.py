@@ -382,7 +382,8 @@ class DataLoader:
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
-                 seed: int = 0, drop_last: bool = True, batch_transform=None):
+                 seed: int = 0, drop_last: bool = True, batch_transform=None,
+                 process_index: int = 0, process_count: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -392,6 +393,15 @@ class DataLoader:
         # pack) applied to each collated batch INSIDE the producer, so it
         # overlaps the device step instead of serializing the train loop
         self.batch_transform = batch_transform
+        # multi-host sharding (DistributedSampler equivalent): every host
+        # computes the SAME per-epoch permutation and global batch split,
+        # then loads only its disjoint slice of each global batch.
+        # batch_size stays the GLOBAL batch size; each host yields
+        # batch_size // process_count items per step.
+        assert 0 <= process_index < process_count, (process_index, process_count)
+        assert batch_size % process_count == 0, (batch_size, process_count)
+        self.process_index = process_index
+        self.process_count = process_count
 
     def _finalize(self, batch: Dict) -> Dict:
         return self.batch_transform(batch) if self.batch_transform else batch
@@ -413,11 +423,19 @@ class DataLoader:
         if hasattr(self.dataset, "set_epoch"):
             self.dataset.set_epoch(epoch)
 
+    def _batch_indices(self, idx: np.ndarray, i: int) -> np.ndarray:
+        """This host's slice of global batch `i` (whole batch single-host)."""
+        sel = idx[i * self.batch_size : (i + 1) * self.batch_size]
+        if self.process_count > 1:
+            per = len(sel) // self.process_count
+            sel = sel[self.process_index * per : (self.process_index + 1) * per]
+        return sel
+
     def epoch(self, epoch: int = 0):
         self._set_epoch(epoch)
         idx = self._permutation(epoch)
         for i in range(len(self)):
-            sel = idx[i * self.batch_size : (i + 1) * self.batch_size]
+            sel = self._batch_indices(idx, i)
             yield self._finalize(collate([self.dataset[int(j)] for j in sel]))
 
 
@@ -436,9 +454,12 @@ class PrefetchDataLoader(DataLoader):
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = True,
                  num_workers: int = 0, prefetch_batches: int = 2,
-                 batch_transform=None):
+                 batch_transform=None, process_index: int = 0,
+                 process_count: int = 1):
         super().__init__(dataset, batch_size, shuffle=shuffle, seed=seed,
-                         drop_last=drop_last, batch_transform=batch_transform)
+                         drop_last=drop_last, batch_transform=batch_transform,
+                         process_index=process_index,
+                         process_count=process_count)
         self.num_workers = num_workers or min(32, 2 * batch_size)
         self.prefetch_batches = max(1, prefetch_batches)
 
@@ -460,7 +481,7 @@ class PrefetchDataLoader(DataLoader):
                     for i in range(n_batches):
                         if stop.is_set():
                             return
-                        sel = idx[i * self.batch_size:(i + 1) * self.batch_size]
+                        sel = self._batch_indices(idx, i)
                         futs = [ex.submit(self.dataset.__getitem__, int(j))
                                 for j in sel]
                         q.put(self._finalize(collate([f.result() for f in futs])))
@@ -526,9 +547,12 @@ class ProcessDataLoader(DataLoader):
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = True,
                  num_workers: int = 0, prefetch_batches: int = 2,
-                 batch_transform=None):
+                 batch_transform=None, process_index: int = 0,
+                 process_count: int = 1):
         super().__init__(dataset, batch_size, shuffle=shuffle, seed=seed,
-                         drop_last=drop_last, batch_transform=batch_transform)
+                         drop_last=drop_last, batch_transform=batch_transform,
+                         process_index=process_index,
+                         process_count=process_count)
         self.num_workers = num_workers or min(16, os.cpu_count() or 8)
         self.prefetch_batches = max(1, prefetch_batches)
         self._pool = None
@@ -591,8 +615,7 @@ class ProcessDataLoader(DataLoader):
         _END = object()
 
         def submit(pending, i: int) -> None:
-            sel = [(epoch, int(j)) for j in
-                   idx[i * self.batch_size:(i + 1) * self.batch_size]]
+            sel = [(epoch, int(j)) for j in self._batch_indices(idx, i)]
             pending.append(
                 pool.map_async(_worker_getitem, sel, chunksize=chunk))
 

@@ -46,8 +46,22 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any, axis: str = "data") -> Any:
-    """Device-put a host batch pytree with dim-0 sharded on `axis`."""
+    """Device-put a host batch pytree with dim-0 sharded on `axis`.
+
+    Single-host: `batch` is the global batch; a plain sharded device_put.
+    Multi-host (after `multihost.initialize`): `batch` is this process's
+    LOCAL slice (`host_local_slice` of the global batch — what the
+    host-sharded loaders yield), and the global array is assembled with
+    `jax.make_array_from_process_local_data`, the multi-controller
+    replacement for torch's DistributedSampler + DDP input path.
+    """
     sh = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.ascontiguousarray(x)),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 

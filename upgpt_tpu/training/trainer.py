@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import signal
+import sys
 import time
 from pathlib import Path
 from typing import Any, Dict, Optional
@@ -152,6 +153,10 @@ class TrainerConfig:
     early_stop_patience: Optional[int] = 5
     log_every: int = 50
     log_images_every: Optional[int] = 1000
+    # periodic weight-only snapshots under checkpoints/trainstep_<step>
+    # (ModelCheckpoint every_n_train_steps + save_weights_only=True,
+    # reference main.py:707-723; default off there too)
+    ckpt_every_steps: Optional[int] = None
     image_log_ddim_steps: int = 20
     logdir: str = "logs/run"
     seed: int = 42
@@ -178,19 +183,30 @@ class Trainer:
         self.cond_encoder = cond_encoder
         self.mesh = mesh
         self.logdir = Path(config.logdir)
+        # multi-host: params/metrics are replicated, so host-side artifacts
+        # (checkpoints, metrics.jsonl, tb, image grids) are written by
+        # process 0 only — Lightning's rank-zero semantics. Pods point
+        # logdir at shared storage for --resume, exactly like the reference.
+        from upgpt_tpu.parallel.multihost import is_primary
+
+        self._primary = is_primary()
         (self.logdir / "checkpoints").mkdir(parents=True, exist_ok=True)
         (self.logdir / "images").mkdir(parents=True, exist_ok=True)
-        self._metrics_log = open(self.logdir / "metrics.jsonl", "a")
+        self._metrics_log = (
+            open(self.logdir / "metrics.jsonl", "a") if self._primary else None
+        )
         self._ckpt = None  # orbax checkpointer, lazy
         self._pending_save = None  # in-flight async checkpoint writer
         # optional TensorBoard event stream (the TestTube logger equivalent,
         # main.py:615-639); degrades to jsonl-only if tensorboard is absent
-        try:
-            from flax.metrics.tensorboard import SummaryWriter
+        self._tb = None
+        if self._primary:
+            try:
+                from flax.metrics.tensorboard import SummaryWriter
 
-            self._tb = SummaryWriter(str(self.logdir / "tb"))
-        except Exception:
-            self._tb = None
+                self._tb = SummaryWriter(str(self.logdir / "tb"))
+            except Exception:
+                self._tb = None
 
         n_dev = len(jax.devices()) if mesh is None else int(np.prod(mesh.devices.shape))
         self.learning_rate = scaled_learning_rate(
@@ -265,7 +281,8 @@ class Trainer:
                     f"async checkpoint save failed: {err[0]!r}") from err[0]
 
     def save_checkpoint(self, state: TrainState, frozen, name: str = "last",
-                        epoch: Optional[int] = None, wait: bool = True) -> None:
+                        epoch: Optional[int] = None, wait: bool = True,
+                        weights_only: bool = False) -> None:
         """Checkpoint save (SURVEY §5: orbax async checkpointing).
 
         The device->host snapshot is taken synchronously (so the saved state
@@ -275,10 +292,18 @@ class Trainer:
         wait=True. At most one save is in flight; a new save (or a restore)
         joins the previous writer first.
         """
+        if not self._primary:
+            return  # rank-zero saves; the replicated state is identical
         self._join_pending_save()
         path = (self.logdir / "checkpoints" / name).absolute()
         ckpt = self._checkpointer()
-        payload = jax.device_get(self._payload(state, frozen))
+        payload = self._payload(state, frozen)
+        if weights_only:
+            # trainstep snapshots ship params (+EMA) without optimizer
+            # state, matching save_weights_only=True (main.py:718)
+            payload = {k: payload[k] for k in
+                       ("step", "params", "ema", "frozen") if k in payload}
+        payload = jax.device_get(payload)
 
         def _write():
             ckpt.save(path, payload, force=True)
@@ -359,6 +384,8 @@ class Trainer:
     def _log(self, record: Dict[str, Any]) -> None:
         import json
 
+        if self._metrics_log is None:  # non-primary multi-host process
+            return
         rec = {k: (float(v) if hasattr(v, "item") else v) for k, v in record.items()}
         self._metrics_log.write(json.dumps(rec) + "\n")
         self._metrics_log.flush()
@@ -369,6 +396,8 @@ class Trainer:
 
     def log_images(self, state: TrainState, frozen, batch: Dict, step: int) -> None:
         """Short-DDIM EMA sample grid (ImageLogger, main.py:302-450)."""
+        if not self._primary:
+            return
         from upgpt_tpu.inference.pipeline import GenerationPipeline
 
         params = dict(state.ema.shadow if state.ema is not None else state.params)
@@ -484,8 +513,25 @@ class Trainer:
             self.save_checkpoint(state, frozen_params, "last",
                                  epoch=self._fit_epoch)
 
+        # SIGUSR2 -> live introspection (reference drops into pudb,
+        # main.py:784-788; under a non-interactive supervisor the useful
+        # analog is a full stack + device-memory dump to stderr)
+        def _usr2(signum, frame):
+            import faulthandler
+
+            print("SIGUSR2: dumping thread stacks + device memory",
+                  file=sys.stderr)
+            faulthandler.dump_traceback(file=sys.stderr)
+            try:
+                from upgpt_tpu.utils.diagnostics import device_memory_stats
+
+                print(device_memory_stats(), file=sys.stderr)
+            except Exception:
+                pass
+
         try:
             signal.signal(signal.SIGUSR1, _usr1)
+            signal.signal(signal.SIGUSR2, _usr2)
         except ValueError:
             pass  # not in main thread
 
@@ -535,6 +581,11 @@ class Trainer:
                         vb = {k: jnp.asarray(v) for k, v in vb.items()
                               if not isinstance(v, list)}
                         self.log_images(state, frozen_params, vb, step)
+                    if (cfg.ckpt_every_steps
+                            and step % cfg.ckpt_every_steps == 0):
+                        self.save_checkpoint(
+                            state, frozen_params, f"trainstep_{step:09d}",
+                            epoch=epoch, wait=False, weights_only=True)
                     if cfg.max_steps and step >= cfg.max_steps:
                         stop = True
                         break
