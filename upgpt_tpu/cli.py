@@ -54,10 +54,16 @@ def _build_cond_encoder(cfg, model, allow_debug=False):
 
 
 def _loaders(cfg, batch_size, compact=False, train_transform=None):
+    import jax
+
     from upgpt_tpu.data.deepfashion import (
         DataLoader, PrefetchDataLoader, ProcessDataLoader,
     )
 
+    # multi-host: each host loads its disjoint slice of every global batch
+    # (DistributedSampler semantics; mesh.shard_batch assembles the rest)
+    proc = dict(process_index=jax.process_index(),
+                process_count=jax.process_count())
     data_cfg = cfg.get("data") or {}
     out = {}
     for split in ("train", "validation", "test"):
@@ -81,10 +87,10 @@ def _loaders(cfg, batch_size, compact=False, train_transform=None):
                 out[split] = cls(
                     ds, batch_size, shuffle=True,
                     num_workers=int(data_cfg.get("num_workers", 0)),
-                    batch_transform=train_transform,
+                    batch_transform=train_transform, **proc,
                 )
             else:
-                out[split] = DataLoader(ds, batch_size, shuffle=False)
+                out[split] = DataLoader(ds, batch_size, shuffle=False, **proc)
     return out
 
 
@@ -234,6 +240,7 @@ def cmd_sample(cfg, args):
         num_steps=args.steps or samp.get("ddim_steps", 200),
         eta=samp.get("eta", 1.0),
         guidance_scale=samp.get("guidance_scale", 1.0),
+        sampler=getattr(args, "sampler", None) or samp.get("sampler", "ddim"),
     )
     loaders = _loaders(cfg, args.batch)
     loader = loaders.get("test") or loaders.get("validation") or loaders["train"]
@@ -270,6 +277,7 @@ def cmd_test(cfg, args):
     pipe = GenerationPipeline(
         model, num_steps=args.steps or samp.get("ddim_steps", 200),
         eta=samp.get("eta", 1.0),
+        sampler=getattr(args, "sampler", None) or samp.get("sampler", "ddim"),
     )
     # per-variant eval crop: 256x176 for the 256px models, 512x352 for the
     # 512 stages (reference model params crop_size, e.g. mm_512/config.yaml:15)
@@ -454,6 +462,11 @@ def main(argv=None):
             sp.add_argument("--resume", action="store_true")
             sp.add_argument("--finetune-from", default=None,
                             help="checkpoint to load weights from (fresh opt state)")
+            sp.add_argument("--multihost", action="store_true",
+                            help="join a multi-host (TPU pod / multi-node) "
+                                 "run via jax.distributed.initialize; every "
+                                 "host runs this same command (the "
+                                 "reference's Trainer num_nodes equivalent)")
         if name in ("sample", "test"):
             sp.add_argument("--ckpt", required=True)
             sp.add_argument("--out", default="results")
@@ -461,6 +474,11 @@ def main(argv=None):
             sp.add_argument("--batch", type=int, default=8)
             sp.add_argument("--seed", type=int, default=0)
             sp.add_argument("--max-images", type=int, default=None)
+            sp.add_argument("--sampler", default=None,
+                            choices=("ddim", "dpm++"),
+                            help="ddim (reference protocol) or dpm++ "
+                                 "(DPM-Solver++(2M): comparable quality in "
+                                 "~2.5x fewer steps, e.g. --steps 20)")
             sp.add_argument("--tp", type=int, default=1,
                             help="tensor-parallel degree: shard the U-Net's "
                                  "transformer matmuls over a (data x model) "
@@ -478,6 +496,11 @@ def main(argv=None):
                             help="convert the model_ema shadow weights "
                                  "(the released eval protocol, ema_scope)")
     args = p.parse_args(argv)
+    if getattr(args, "multihost", False):
+        # must run before the first backend touch (jax.devices())
+        from upgpt_tpu.parallel.multihost import initialize
+
+        initialize()
     from upgpt_tpu.utils.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()  # warm process restarts skip the 1-10 min compile

@@ -1,0 +1,153 @@
+"""DPM-Solver++(2M): a second-order multistep ODE sampler, one `lax.scan`.
+
+Beyond-parity addition (the reference ships DDIM/PLMS only,
+ldm/models/diffusion/ddim.py + plms.py): DPM-Solver++ (Lu et al. 2022,
+arXiv:2211.01095) reaches DDIM-50 sample quality in ~20 model calls, so the
+same chip serves ~2.5x the requests at unchanged output quality. The public
+formulation used everywhere (diffusers DPMSolverMultistepScheduler,
+k-diffusion sample_dpmpp_2m) is re-derived here for the discrete VP
+schedule and compiled TPU-style: all per-step solver coefficients are
+precomputed host-side in float64 and enter the scan as stacked constants,
+the model is evaluated once per step, and the multistep state is just the
+previous x0-prediction in the scan carry.
+
+Math (data-prediction / "++" variant, 2nd-order multistep):
+
+    alpha_t = sqrt(acp_t); sigma_t = sqrt(1-acp_t); lam = log(alpha/sigma)
+    x0_i    = (x - sigma_i * eps(x, t_i)) / alpha_i
+    h_i     = lam_{i+1} - lam_i                       (> 0, noise decreasing)
+    c_i     = h_i / (2 h_{i-1})                       (c_0 = 0: 1st order)
+    D_i     = (1 + c_i) x0_i - c_i x0_{i-1}
+    x_{i+1} = (sigma_{i+1}/sigma_i) x - alpha_{i+1} expm1(-h_i) D_i
+
+With c == 0 a step reduces exactly to the DDIM eta=0 update (tested), so
+the first step and any sigma->0 terminal step degrade gracefully.
+
+Same eps-model/CFG/x_T interface as `ddim.ddim_sample`; the t-grid is the
+reference's uniform DDIM subset (schedule.make_ddim_timesteps) so converted
+checkpoints sample on the timesteps they were evaluated with.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from upgpt_tpu.diffusion.ddim import EpsModel
+from upgpt_tpu.diffusion.schedule import DiffusionSchedule, make_ddim_timesteps
+
+
+@dataclasses.dataclass(frozen=True)
+class DPMSolverSchedule:
+    """Per-step solver tables, ordered by sampling step (reverse time)."""
+
+    timesteps: np.ndarray  # (S,) int32, descending — model-eval t per step
+    alphas: np.ndarray  # acp at the eval t (for the x0 prediction)
+    coef_x: np.ndarray  # sigma_next / sigma_cur
+    coef_d: np.ndarray  # -alpha_next * expm1(-h)
+    c2: np.ndarray  # h_i / (2 h_{i-1}); 0 => first-order step
+
+    @property
+    def num_steps(self) -> int:
+        return int(self.timesteps.shape[0])
+
+
+def make_dpm_solver_schedule(
+    schedule: DiffusionSchedule,
+    num_steps: int,
+    method: str = "uniform",
+) -> DPMSolverSchedule:
+    """Solver tables over the reference's DDIM t-grid (util.py:63-74)."""
+    ts = make_ddim_timesteps(method, num_steps, schedule.num_timesteps)
+    acp = schedule.alphas_cumprod.astype(np.float64)
+    a_cur = acp[ts]
+    a_next = np.asarray([acp[0]] + acp[ts[:-1]].tolist())
+    rev = slice(None, None, -1)
+    a_cur, a_next, ts = a_cur[rev], a_next[rev], ts[rev]
+
+    alpha_c, sigma_c = np.sqrt(a_cur), np.sqrt(1.0 - a_cur)
+    alpha_n, sigma_n = np.sqrt(a_next), np.sqrt(1.0 - a_next)
+    # lam diverges at sigma->0; guard, then zero the affected coefficients
+    lam_c = np.log(alpha_c / np.maximum(sigma_c, 1e-20))
+    lam_n = np.log(alpha_n / np.maximum(sigma_n, 1e-20))
+    h = lam_n - lam_c  # (S,) > 0
+
+    coef_x = sigma_n / sigma_c
+    coef_d = -alpha_n * np.expm1(-h)
+    c2 = np.zeros_like(h)
+    c2[1:] = h[1:] / (2.0 * h[:-1])
+    # first-order fallback where the target is (numerically) noise-free —
+    # the 2M extrapolation coefficient is unbounded there
+    c2 = np.where(sigma_n <= 1e-10, 0.0, c2)
+    coef_d = np.where(sigma_n <= 1e-10, alpha_n, coef_d)
+
+    f32 = lambda x: np.ascontiguousarray(x).astype(np.float32)  # noqa: E731
+    return DPMSolverSchedule(
+        timesteps=np.ascontiguousarray(ts).astype(np.int32),
+        alphas=f32(a_cur), coef_x=f32(coef_x), coef_d=f32(coef_d), c2=f32(c2),
+    )
+
+
+def dpm_solver_pp_sample(
+    eps_model: EpsModel,
+    solver: DPMSolverSchedule,
+    shape: Tuple[int, ...],
+    cond: Dict[str, Any],
+    key: jax.Array,
+    *,
+    x_T: Optional[jax.Array] = None,
+    guidance_scale: float = 1.0,
+    uncond: Optional[Dict[str, Any]] = None,
+) -> jax.Array:
+    """Run the full DPM-Solver++(2M) reverse process; returns z_0 (latent).
+
+    Deterministic given x_T/key (ODE solver — there is no eta). CFG by
+    batch-doubling, identical to `ddim_sample`.
+    """
+    if x_T is None:
+        key, k_init = jax.random.split(key)
+        img = jax.random.normal(k_init, shape, jnp.float32)
+    else:
+        img = x_T.astype(jnp.float32)
+
+    use_cfg = uncond is not None and guidance_scale != 1.0
+
+    def model_eps(x, t_b):
+        if use_cfg:
+            x_in = jnp.concatenate([x, x], axis=0)
+            t_in = jnp.concatenate([t_b, t_b], axis=0)
+            c_in = jax.tree.map(
+                lambda u, c: jnp.concatenate([u, c], axis=0), uncond, cond
+            )
+            out = eps_model(x_in, t_in, c_in)
+            e_uncond, e_cond = jnp.split(out, 2, axis=0)
+            return e_uncond + guidance_scale * (e_cond - e_uncond)
+        return eps_model(x, t_b, cond)
+
+    b = shape[0]
+    per_step = (
+        jnp.asarray(solver.timesteps),
+        jnp.asarray(solver.alphas),
+        jnp.asarray(solver.coef_x),
+        jnp.asarray(solver.coef_d),
+        jnp.asarray(solver.c2),
+    )
+
+    def step(carry, consts):
+        x, x0_prev = carry
+        t_scalar, a, cx, cd, c2 = consts
+        t_b = jnp.full((b,), t_scalar, jnp.int32)
+        eps = model_eps(x, t_b).astype(jnp.float32)
+        x0 = (x - jnp.sqrt(1.0 - a) * eps) / jnp.sqrt(a)
+        d = (1.0 + c2) * x0 - c2 * x0_prev  # c2==0 -> 1st order == DDIM eta0
+        x_next = cx * x + cd * d
+        return (x_next, x0), None
+
+    (img, _), _ = jax.lax.scan(
+        step, (img, jnp.zeros_like(img)), per_step, unroll=2
+    )
+    return img

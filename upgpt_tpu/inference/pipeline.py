@@ -55,6 +55,7 @@ class GenerationPipeline:
         guidance_scale: float = 1.0,
         decode: bool = True,
         output_uint8: bool = False,
+        sampler: str = "ddim",
     ):
         self.model = model
         self.num_steps = num_steps
@@ -65,6 +66,15 @@ class GenerationPipeline:
         # path saves uint8 images anyway); off by default for tests/APIs
         # that expect [-1,1] floats
         self.output_uint8 = output_uint8
+        # "ddim" (reference protocol) or "dpm++" (DPM-Solver++(2M): same
+        # quality in ~2.5x fewer steps; deterministic, eta ignored)
+        if sampler not in ("ddim", "dpm++"):
+            raise ValueError(f"unknown sampler {sampler!r}")
+        self.sampler = sampler
+        if sampler == "dpm++":
+            from upgpt_tpu.diffusion.dpm_solver import make_dpm_solver_schedule
+
+            self.dpm = make_dpm_solver_schedule(model.schedule, num_steps)
         self.ddim = make_ddim_schedule(model.schedule, num_steps, eta=eta)
         self._sample = jax.jit(self._sample_impl, static_argnames=("shared_x_T",))
 
@@ -116,10 +126,18 @@ class GenerationPipeline:
         def eps_model(x, t, c):
             return model.apply_model(params, x, t, c)
 
-        z = ddim_sample(
-            eps_model, model.schedule, self.ddim, shape, cond, key,
-            x_T=x_T, guidance_scale=self.guidance_scale, uncond=uncond,
-        )
+        if self.sampler == "dpm++":
+            from upgpt_tpu.diffusion.dpm_solver import dpm_solver_pp_sample
+
+            z = dpm_solver_pp_sample(
+                eps_model, self.dpm, shape, cond, key,
+                x_T=x_T, guidance_scale=self.guidance_scale, uncond=uncond,
+            )
+        else:
+            z = ddim_sample(
+                eps_model, model.schedule, self.ddim, shape, cond, key,
+                x_T=x_T, guidance_scale=self.guidance_scale, uncond=uncond,
+            )
         if not self.decode:
             return z
         img = model.decode_first_stage(params, z)
