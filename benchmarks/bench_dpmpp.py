@@ -1,0 +1,108 @@
+"""DPM-Solver++(2M) serving throughput at the flagship geometry.
+
+Same protocol as bench.py (interp_256, kl-f8 decode, bf16, uint8 output,
+pipelined one-batch-in-flight) but the sampler is DPM-Solver++(2M) at
+--steps (default 20) model calls — the step count at which 2M multistep
+solvers match DDIM-50 sample quality in the diffusion literature. The
+point: images/sec for the SAME perceptual quality, i.e. effective serving
+throughput beyond the DDIM-50 protocol number.
+
+Usage: python benchmarks/bench_dpmpp.py [batch] [steps]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from upgpt_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    from upgpt_tpu.diffusion.latent_diffusion import (
+        LatentDiffusion, LatentDiffusionConfig,
+    )
+    from upgpt_tpu.inference.pipeline import GenerationPipeline
+    from upgpt_tpu.models.unet import UNetConfig
+    from upgpt_tpu.models.vae import AutoencoderConfig
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+    on_tpu = dev.platform != "cpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    cfg = LatentDiffusionConfig.interp_256(
+        unet=UNetConfig.interp_256(
+            dtype=dtype, use_fused_groupnorm=on_tpu,
+            use_fused_transformer=on_tpu,
+        ),
+        vae=AutoencoderConfig.kl_f8(dtype=dtype, use_flash_attention=on_tpu),
+    )
+    model = LatentDiffusion(cfg)
+    params = jax.jit(model.init_params)(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    if on_tpu:
+        from upgpt_tpu.utils.diagnostics import cast_floating
+
+        params = cast_floating(params, jnp.bfloat16)
+    pipe = GenerationPipeline(
+        model, num_steps=steps, sampler="dpm++", output_uint8=True)
+
+    rng = np.random.default_rng(0)
+    h, w = cfg.latent_size
+    eb = {
+        "text_emb": jnp.asarray(rng.normal(size=(batch, 77, 768)), jnp.float32),
+        "style_emb": jnp.asarray(rng.normal(size=(batch, 9, 768)), jnp.float32),
+        "smpl": jnp.asarray(rng.normal(size=(batch, 1, 85)), jnp.float32),
+        "person_mask": jnp.asarray(
+            rng.choice([-1.0, -0.99215686], size=(batch, h, w, 1)), jnp.float32
+        ),
+    }
+    key = jax.random.PRNGKey(42)
+
+    t0 = time.perf_counter()
+    np.asarray(pipe.generate(params, eb, key))
+    print(f"compile+first run: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    times = []
+    for i in range(8):
+        t0 = time.perf_counter()
+        out = pipe.generate(params, eb, jax.random.fold_in(key, i))
+        np.asarray(out)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    print(f"batch={batch} dpm++ steps={steps}: sequential best "
+          f"{best*1000:.1f} ms/batch (median {np.median(times)*1000:.1f})",
+          file=sys.stderr)
+
+    n_pipe, rates = 6, []
+    for rep in range(5):
+        prev = None
+        t0 = time.perf_counter()
+        for i in range(n_pipe):
+            out = pipe.generate(params, eb, jax.random.fold_in(key, 100 * rep + i))
+            if prev is not None:
+                np.asarray(prev)
+            prev = out
+        np.asarray(prev)
+        rates.append(n_pipe * batch / (time.perf_counter() - t0))
+    imgs_per_sec = max(max(rates), batch / best)
+    print(f"pipelined throughput (best of {len(rates)} x {n_pipe}): "
+          f"{imgs_per_sec:.2f} img/s at dpm++-{steps}", file=sys.stderr)
+    print({"sampler": "dpm++", "steps": steps, "batch": batch,
+           "img_per_sec": round(imgs_per_sec, 2)})
+
+
+if __name__ == "__main__":
+    main()
