@@ -158,3 +158,34 @@ def test_single_host_defaults_unchanged():
     assert [b["x"].shape[0] for b in batches] == [4, 4]
     np.testing.assert_array_equal(
         np.concatenate([b["x"][:, 0] for b in batches]), np.arange(8.0))
+
+
+def test_initialize_is_noop_on_single_host(monkeypatch):
+    """`cli train --multihost` must be safe on a single machine: with no
+    coordinator argument and no cluster environment, initialize() returns
+    without touching jax.distributed."""
+    import upgpt_tpu.parallel.multihost as mh
+
+    for v in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+              "MEGASCALE_COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(v, raising=False)
+    # single-entry TPU_WORKER_HOSTNAMES (as single-chip runtimes set it)
+    # must NOT be taken as a pod signal
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+
+    called = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize",
+        lambda **kw: called.append(kw), raising=True)
+    monkeypatch.setattr(mh, "_INITIALIZED", False)
+    mh.initialize()
+    assert called == []
+
+    # a multi-entry worker list IS a pod signal
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-a,host-b")
+    mh.initialize()
+    assert len(called) == 1
+    # and the wrapper is idempotent once connected
+    monkeypatch.setattr(mh, "_INITIALIZED", True)
+    mh.initialize()
+    assert len(called) == 1

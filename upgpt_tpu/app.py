@@ -47,7 +47,10 @@ textarea,input{width:100%%}button{padding:.5em 1.5em;margin:.5em 0}
 <textarea id=styles rows=2>{}</textarea>
 <label>Pose id</label><input id=pose value="0">
 <label>Frames (pose interpolation; 1 = single)</label><input id=frames value="1">
-<label>DDIM steps</label><input id=steps value="50">
+<label>Steps</label><input id=steps value="50">
+<label>Sampler</label><select id=sampler>
+<option value="ddim">ddim</option><option value="dpm++">dpm++ (fast, ~20 steps)</option>
+</select>
 <button onclick="gen()">Generate</button>
 <button onclick="up()">Upscale last</button>
 </div><div class=col id=out></div></div>
@@ -63,7 +66,8 @@ function gen(){call('/api/generate',{txt:document.getElementById('txt').value,
   style_texts:JSON.parse(document.getElementById('styles').value||'{}'),
   pose:document.getElementById('pose').value,
   frames:+document.getElementById('frames').value,
-  steps:+document.getElementById('steps').value})}
+  steps:+document.getElementById('steps').value,
+  sampler:document.getElementById('sampler').value})}
 function up(){call('/api/upscale',{})}
 </script></body></html>"""
 
@@ -75,16 +79,18 @@ class DemoState:
         self.params = params
         self.encoder = encoder
         self.pose_dir = Path(pose_dir) if pose_dir else None
-        self.pipes: Dict[int, GenerationPipeline] = {}
+        self.pipes: Dict[tuple, GenerationPipeline] = {}
         self.last_sample: Optional[np.ndarray] = None
         self.upscale: Optional[UpscalePipeline] = None
         self.upscale_params = None
         self._key_counter = 0
 
-    def pipe(self, steps: int) -> GenerationPipeline:
-        if steps not in self.pipes:
-            self.pipes[steps] = GenerationPipeline(self.model, num_steps=steps, eta=1.0)
-        return self.pipes[steps]
+    def pipe(self, steps: int, sampler: str = "ddim") -> GenerationPipeline:
+        key = (steps, sampler)
+        if key not in self.pipes:
+            self.pipes[key] = GenerationPipeline(
+                self.model, num_steps=steps, eta=1.0, sampler=sampler)
+        return self.pipes[key]
 
     def load_pose(self, pose_id: str):
         h, w = self.model.config.latent_size
@@ -124,6 +130,7 @@ class DemoState:
 
         frames = max(1, int(req.get("frames", 1)))
         steps = int(req.get("steps", 50))
+        sampler = str(req.get("sampler", "ddim"))  # "ddim" | "dpm++"
         txt = [req.get("txt", "")]
         text_emb = np.asarray(self.encoder.text_hidden(txt))
 
@@ -152,7 +159,7 @@ class DemoState:
             "person_mask": mask_b,
         }
         self._key_counter += 1
-        imgs = self.pipe(steps).generate(
+        imgs = self.pipe(steps, sampler).generate(
             self.params, {k: np.asarray(v) for k, v in batch.items()},
             jax.random.PRNGKey(self._key_counter), shared_x_T=frames > 1,
         )
