@@ -83,7 +83,8 @@ def main():
     argv = sys.argv[2:] if train else sys.argv[1:]
     variant = argv[0] if argv else "mm_512"
     batch = int(argv[1]) if len(argv) > 1 else 8
-    steps = 50
+    steps = int(argv[2]) if len(argv) > 2 else 50
+    sampler = argv[3] if len(argv) > 3 else "ddim"
 
     on_tpu = jax.devices()[0].platform != "cpu"
     model = zoo.build_latent_diffusion(
@@ -111,7 +112,7 @@ def main():
     if on_tpu:
         params = cast_floating(params, jnp.bfloat16)
     pipe = GenerationPipeline(model, num_steps=steps, eta=1.0,
-                              output_uint8=True)
+                              output_uint8=True, sampler=sampler)
 
     rng = np.random.default_rng(0)
     h, w = model.config.latent_size
@@ -136,8 +137,9 @@ def main():
         np.asarray(pipe.generate(params, eb, jax.random.fold_in(key, i)))
         times.append(time.perf_counter() - t0)
     best = min(times)
-    print(f"{variant} batch={batch} steps={steps}: best {best*1000:.1f} ms "
-          f"(median {np.median(times)*1000:.1f}), {batch/best:.2f} img/s")
+    print(f"{variant} batch={batch} {sampler} steps={steps}: best "
+          f"{best*1000:.1f} ms (median {np.median(times)*1000:.1f}), "
+          f"{batch/best:.2f} img/s")
 
 
 if __name__ == "__main__":

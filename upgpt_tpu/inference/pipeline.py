@@ -249,8 +249,10 @@ class UpscalePipeline:
     """Chained 256->512: lr-concat conditioned diffusion in kl-f4 latent space
     (app.py:379-409, models/upgpt/upscale/config.yaml)."""
 
-    def __init__(self, model: LatentDiffusion, num_steps: int = 200, eta: float = 1.0):
-        self.inner = GenerationPipeline(model, num_steps=num_steps, eta=eta)
+    def __init__(self, model: LatentDiffusion, num_steps: int = 200,
+                 eta: float = 1.0, sampler: str = "ddim"):
+        self.inner = GenerationPipeline(
+            model, num_steps=num_steps, eta=eta, sampler=sampler)
 
     def upscale(
         self,
