@@ -26,7 +26,9 @@ REPO = os.path.dirname(HERE)
 
 
 def _free_port() -> int:
+    # SO_REUSEADDR narrows the close->coordinator-rebind race window
     s = socket.socket()
+    s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
     s.bind(("127.0.0.1", 0))
     port = s.getsockname()[1]
     s.close()
@@ -189,3 +191,31 @@ def test_initialize_is_noop_on_single_host(monkeypatch):
     monkeypatch.setattr(mh, "_INITIALIZED", True)
     mh.initialize()
     assert len(called) == 1
+
+
+def test_tail_batch_wrap_padding():
+    """drop_last=False tail batches that don't divide process_count are
+    wrap-padded (DistributedSampler semantics): equal per-host counts, no
+    sample silently dropped."""
+    from upgpt_tpu.data.deepfashion import DataLoader
+
+    class Toy:
+        def __len__(self):
+            return 9  # batches of 4 -> tail batch of 1
+
+        def __getitem__(self, i):
+            return {"x": np.asarray([float(i)], np.float32)}
+
+    hosts = [
+        DataLoader(Toy(), batch_size=4, shuffle=False, drop_last=False,
+                   process_index=i, process_count=2)
+        for i in range(2)
+    ]
+    b0, b1 = list(hosts[0].epoch(0)), list(hosts[1].epoch(0))
+    assert len(b0) == len(b1) == 3
+    # tail batch: global sel=[8]; wrap-pad -> host0=[8], host1=[8]
+    np.testing.assert_array_equal(b0[-1]["x"], [[8.0]])
+    np.testing.assert_array_equal(b1[-1]["x"], [[8.0]])
+    # full batches still partition exactly
+    np.testing.assert_array_equal(
+        np.concatenate([b0[0]["x"], b1[0]["x"]])[:, 0], np.arange(4.0))

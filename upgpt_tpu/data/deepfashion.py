@@ -424,10 +424,18 @@ class DataLoader:
             self.dataset.set_epoch(epoch)
 
     def _batch_indices(self, idx: np.ndarray, i: int) -> np.ndarray:
-        """This host's slice of global batch `i` (whole batch single-host)."""
+        """This host's slice of global batch `i` (whole batch single-host).
+
+        A drop_last=False tail batch that does not divide process_count is
+        wrap-padded with its own leading indices so every host yields the
+        same count — torch DistributedSampler's padding semantics; no
+        sample is silently dropped.
+        """
         sel = idx[i * self.batch_size : (i + 1) * self.batch_size]
         if self.process_count > 1:
-            per = len(sel) // self.process_count
+            per = -(-len(sel) // self.process_count)  # ceil
+            if per * self.process_count != len(sel):
+                sel = np.resize(sel, per * self.process_count)  # wrap-pad
             sel = sel[self.process_index * per : (self.process_index + 1) * per]
         return sel
 

@@ -33,6 +33,35 @@ from upgpt_tpu.diffusion.schedule import DDIMSchedule, DiffusionSchedule
 EpsModel = Callable[[jax.Array, jax.Array, Dict[str, Any]], jax.Array]
 
 
+def cfg_eps_model(
+    eps_model: EpsModel,
+    cond: Dict[str, Any],
+    uncond: Optional[Dict[str, Any]],
+    guidance_scale: float,
+) -> Callable[[jax.Array, jax.Array], jax.Array]:
+    """Classifier-free-guidance batch-doubling wrapper (ddim.py:171-178).
+
+    Shared by every sampler (DDIM/PLMS-style scans, DPM-Solver++) so a CFG
+    change lands everywhere at once. With no uncond (or scale 1.0) it is a
+    plain conditioned call.
+    """
+    use_cfg = uncond is not None and guidance_scale != 1.0
+
+    def model_eps(x, t_b):
+        if use_cfg:
+            x_in = jnp.concatenate([x, x], axis=0)
+            t_in = jnp.concatenate([t_b, t_b], axis=0)
+            c_in = jax.tree.map(
+                lambda u, c: jnp.concatenate([u, c], axis=0), uncond, cond
+            )
+            out = eps_model(x_in, t_in, c_in)
+            e_uncond, e_cond = jnp.split(out, 2, axis=0)
+            return e_uncond + guidance_scale * (e_cond - e_uncond)
+        return eps_model(x, t_b, cond)
+
+    return model_eps
+
+
 def ddim_sample(
     eps_model: EpsModel,
     schedule: DiffusionSchedule,
@@ -60,19 +89,7 @@ def ddim_sample(
     else:
         img = x_T.astype(jnp.float32)
 
-    use_cfg = uncond is not None and guidance_scale != 1.0
-
-    def model_eps(x, t_b, step_idx):
-        if use_cfg:
-            x_in = jnp.concatenate([x, x], axis=0)
-            t_in = jnp.concatenate([t_b, t_b], axis=0)
-            c_in = jax.tree.map(
-                lambda u, c: jnp.concatenate([u, c], axis=0), uncond, cond
-            )
-            out = eps_model(x_in, t_in, c_in)
-            e_uncond, e_cond = jnp.split(out, 2, axis=0)
-            return e_uncond + guidance_scale * (e_cond - e_uncond)
-        return eps_model(x, t_b, cond)
+    model_eps = cfg_eps_model(eps_model, cond, uncond, guidance_scale)
 
     ts = jnp.asarray(ddim.timesteps)
     a_t = jnp.asarray(ddim.alphas)
@@ -98,7 +115,7 @@ def ddim_sample(
                 sqrt_omacp[t_b][:, None, None, None] * noise_q
             x = x_orig * inpaint_mask + (1.0 - inpaint_mask) * x
 
-        eps = model_eps(x, t_b, i).astype(jnp.float32)
+        eps = model_eps(x, t_b).astype(jnp.float32)
         pred_x0 = (x - soma * eps) / jnp.sqrt(at)
         dir_xt = jnp.sqrt(jnp.maximum(1.0 - ap - sig**2, 0.0)) * eps
         if stochastic:

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from upgpt_tpu.diffusion.ddim import EpsModel
+from upgpt_tpu.diffusion.ddim import EpsModel, cfg_eps_model
 from upgpt_tpu.diffusion.schedule import DiffusionSchedule, make_ddim_timesteps
 
 
@@ -65,6 +65,8 @@ def make_dpm_solver_schedule(
     ts = make_ddim_timesteps(method, num_steps, schedule.num_timesteps)
     acp = schedule.alphas_cumprod.astype(np.float64)
     a_cur = acp[ts]
+    # same current/next pairing as make_ddim_schedule's alphas/alphas_prev
+    # (kept in float64 here — the f32 tables there lose lambda precision)
     a_next = np.asarray([acp[0]] + acp[ts[:-1]].tolist())
     rev = slice(None, None, -1)
     a_cur, a_next, ts = a_cur[rev], a_next[rev], ts[rev]
@@ -114,19 +116,7 @@ def dpm_solver_pp_sample(
     else:
         img = x_T.astype(jnp.float32)
 
-    use_cfg = uncond is not None and guidance_scale != 1.0
-
-    def model_eps(x, t_b):
-        if use_cfg:
-            x_in = jnp.concatenate([x, x], axis=0)
-            t_in = jnp.concatenate([t_b, t_b], axis=0)
-            c_in = jax.tree.map(
-                lambda u, c: jnp.concatenate([u, c], axis=0), uncond, cond
-            )
-            out = eps_model(x_in, t_in, c_in)
-            e_uncond, e_cond = jnp.split(out, 2, axis=0)
-            return e_uncond + guidance_scale * (e_cond - e_uncond)
-        return eps_model(x, t_b, cond)
+    model_eps = cfg_eps_model(eps_model, cond, uncond, guidance_scale)
 
     b = shape[0]
     per_step = (

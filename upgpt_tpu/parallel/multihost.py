@@ -79,18 +79,6 @@ def _on_tpu_pod() -> bool:
     return "," in hosts
 
 
-def process_index() -> int:
-    import jax
-
-    return jax.process_index()
-
-
-def process_count() -> int:
-    import jax
-
-    return jax.process_count()
-
-
 def is_primary() -> bool:
     """True on the host that owns checkpoints / metrics / image logs."""
     import jax
@@ -101,8 +89,10 @@ def is_primary() -> bool:
 def barrier(name: str = "upgpt_barrier") -> None:
     """Block until every process reaches this point (no-op single-host).
 
-    Used around checkpoint writes so no host races ahead and mutates
-    `last` while process 0 is still serializing it.
+    Pod-level synchronization primitive for callers that need all hosts
+    aligned before a shared-filesystem read (e.g. resuming right after a
+    save). The trainer itself does not need it — non-primary hosts never
+    touch the checkpoint files during training.
     """
     import jax
 

@@ -208,9 +208,14 @@ class Trainer:
             except Exception:
                 self._tb = None
 
-        n_dev = len(jax.devices()) if mesh is None else int(np.prod(mesh.devices.shape))
+        # LR rule: lr = accum * ngpu * bs * base (main.py:748-767) where the
+        # reference bs is PER-GPU, so lr scales with the EFFECTIVE global
+        # batch (ngpu*bs). config.batch_size here is already the global
+        # batch (sharded over devices/hosts, not duplicated per device), so
+        # the equivalent scaling is accum * batch_size * base — independent
+        # of how many devices or hosts the same global batch is spread over.
         self.learning_rate = scaled_learning_rate(
-            config.base_learning_rate, config.batch_size, n_dev,
+            config.base_learning_rate, config.batch_size, 1,
             config.accumulate_grad_batches, config.scale_lr,
         )
         self.scheduler = lambda_linear_schedule(
@@ -395,29 +400,49 @@ class Trainer:
                     self._tb.scalar(k, v, rec["step"])
 
     def log_images(self, state: TrainState, frozen, batch: Dict, step: int) -> None:
-        """Short-DDIM EMA sample grid (ImageLogger, main.py:302-450)."""
-        if not self._primary:
-            return
+        """Short-DDIM EMA sample grid (ImageLogger, main.py:302-450).
+
+        Multi-host: the sampler jit runs over globally-sharded params, so it
+        is a COLLECTIVE — every process must execute it (gating it on
+        process 0 would deadlock the pod at the first image-log step). Only
+        the PNG writes are primary-only; the sampled grid covers this
+        host's slice of the batch (a debug artifact, not an all-gather).
+        """
         from upgpt_tpu.inference.pipeline import GenerationPipeline
+
+        # host-side copies for the conditioning strips BEFORE any sharding
+        strips = {k: np.asarray(batch[k])
+                  for k in ("src_image", "smpl_image", "styles") if k in batch}
+        gen_batch = {k: v for k, v in batch.items() if k not in strips}
+        if self.mesh is not None and jax.process_count() > 1:
+            gen_batch = shard_batch(
+                self.mesh, {k: np.asarray(v) for k, v in gen_batch.items()})
 
         params = dict(state.ema.shadow if state.ema is not None else state.params)
         params.update(frozen)
         pipe = GenerationPipeline(
             self.model, num_steps=self.config.image_log_ddim_steps, eta=1.0
         )
-        imgs = pipe.generate(params, batch, jax.random.PRNGKey(step))
-        self._save_grid(np.asarray(imgs), self.logdir / "images" / f"samples_{step:08d}.png")
+        imgs = pipe.generate(params, gen_batch, jax.random.PRNGKey(step))
+        if jax.process_count() > 1:
+            # resharding to fully-replicated is itself a collective; after
+            # it every host can read the pixels (process 0 writes them)
+            imgs = jax.device_put(imgs, replicated_sharding(self.mesh))
+        imgs = np.asarray(jax.device_get(imgs))
+        if not self._primary:
+            return
+        self._save_grid(imgs, self.logdir / "images" / f"samples_{step:08d}.png")
         for key in ("src_image", "smpl_image"):
-            if key in batch:
+            if key in strips:
                 self._save_grid(
-                    np.asarray(batch[key]),
+                    strips[key],
                     self.logdir / "images" / f"{key}_{step:08d}.png",
                 )
-        if "styles" in batch:
+        if "styles" in strips:
             # denormalized per-slot style strips (save_styles, main.py:355-388)
             from upgpt_tpu.data.transforms import CLIP_MEAN, CLIP_STD
 
-            styles = np.asarray(batch["styles"])  # (B, 9, 224, 224, 3)
+            styles = strips["styles"]  # (B, 9, 224, 224, 3)
             strip = styles.transpose(0, 2, 1, 3, 4).reshape(
                 styles.shape[0], styles.shape[2], -1, 3
             )
@@ -457,7 +482,11 @@ class Trainer:
     def _device_batch(self, raw: Dict) -> Dict:
         if "text_emb" not in raw:  # not pre-encoded by the loader
             raw = self.host_encode(raw)
-        batch = {k: jnp.asarray(v) for k, v in raw.items() if k in self._KEEP}
+        # multi-host assembly consumes HOST arrays (an eager jnp.asarray
+        # here would h2d to local device 0 only to be read back by
+        # make_array_from_process_local_data — 3x the transfer bytes)
+        to_arr = np.asarray if jax.process_count() > 1 else jnp.asarray
+        batch = {k: to_arr(v) for k, v in raw.items() if k in self._KEEP}
         if self.mesh is not None:
             batch = shard_batch(self.mesh, batch)
         return batch
