@@ -1,0 +1,50 @@
+"""Regression tests for the driver artifact `__graft_entry__.py`.
+
+The driver compile-checks `entry()` single-chip and executes
+`dryrun_multichip(8)` on a virtual CPU platform every round — a red run
+there is a red round (VERDICT round 1, item 1), so the suite guards both
+surfaces.  `dryrun_multichip` detects the already-initialized test backend
+and re-executes itself in a clean subprocess, which is exactly the
+ambient-TPU situation the driver runs it under.
+"""
+
+import os
+import sys
+
+import jax
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+
+
+def test_entry_returns_jittable_forward():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    model_cfg_shape = (1, 32, 24, 4)  # interp_256 latent, eps prediction
+    assert out.shape == model_cfg_shape
+    assert bool(jax.numpy.isfinite(out).all())
+
+
+def test_dryrun_multichip_subprocess():
+    """One full DP(x TP) train step over an 8-device virtual mesh.
+
+    Runs via the subprocess path (the test process's CPU backend is already
+    live, so the platform can no longer be re-bootstrapped in-process) —
+    the same path the driver exercises under the ambient axon backend.
+    """
+    import __graft_entry__ as ge
+
+    assert ge._jax_backend_initialized()
+    ge.dryrun_multichip(8)  # raises on nonzero subprocess rc
+
+
+@pytest.mark.parametrize("n", [1, 2])
+def test_dryrun_small_meshes(n):
+    """Odd/small device counts fall back to pure DP (tp=1) and still run."""
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(n)
