@@ -73,6 +73,63 @@ def test_tracks_fine_ode_better_than_ddim():
     assert err_dpm < 0.25 * scale, (err_dpm, scale)
 
 
+def test_matches_independent_numpy_reference():
+    """Full trajectory vs a from-scratch numpy DPM-Solver++(2M) written
+    straight from the paper's update rule (arXiv:2211.01095, data-prediction
+    multistep) — derives lambda/h/c from alphas_cumprod independently of
+    `make_dpm_solver_schedule`'s precomputed tables, so a sign, pairing, or
+    ordering mistake in the tables cannot self-validate."""
+    from upgpt_tpu.diffusion.schedule import make_ddim_timesteps
+
+    model, _, _, shape, x_T = _setup()
+    steps = 7
+
+    # analytic eps-model: linear in x with a t-dependent bias — nontrivial
+    # dynamics, no network weights involved
+    wt = 0.3
+
+    def eps_model(x, t, c):
+        return wt * x + (t.astype(jnp.float32) / 100.0)[:, None, None, None]
+
+    out = np.asarray(dpm_solver_pp_sample(
+        eps_model, make_dpm_solver_schedule(model.schedule, steps),
+        shape, cond={}, key=jax.random.PRNGKey(0), x_T=x_T))
+
+    # ---- independent numpy reimplementation ----
+    acp = model.schedule.alphas_cumprod.astype(np.float64)
+    ts = make_ddim_timesteps("uniform", steps, model.schedule.num_timesteps)
+    t_cur = ts[::-1]                                # descending eval times
+    a_cur = acp[t_cur]
+    # step i evaluates at t_cur[i] and lands on the grid point below it;
+    # the terminal step lands on acp[0] (alphas_prev base, util.py:63-74)
+    a_next = np.concatenate([acp[ts[:-1]][::-1], [acp[0]]])
+
+    x = np.asarray(x_T, np.float64)
+    x0_prev, h_prev = None, None
+    for i in range(len(t_cur)):  # the uniform grid has num_steps+1 points
+        ac, an = a_cur[i], a_next[i]
+        al_c, sg_c = np.sqrt(ac), np.sqrt(1 - ac)
+        al_n, sg_n = np.sqrt(an), np.sqrt(1 - an)
+        t_b = np.full((shape[0],), t_cur[i], np.float64)
+        eps = wt * x + (t_b / 100.0)[:, None, None, None]
+        x0 = (x - sg_c * eps) / al_c
+        lam_c = np.log(al_c / sg_c)
+        lam_n = np.log(al_n / max(sg_n, 1e-20))
+        h = lam_n - lam_c
+        if x0_prev is None or sg_n <= 1e-10:
+            d = x0
+        else:
+            c = h / (2.0 * h_prev)
+            d = (1 + c) * x0 - c * x0_prev
+        if sg_n <= 1e-10:
+            x = al_n * d
+        else:
+            x = (sg_n / sg_c) * x - al_n * np.expm1(-h) * d
+        x0_prev, h_prev = x0, h
+
+    np.testing.assert_allclose(out, x, atol=5e-4, rtol=5e-4)
+
+
 def test_cfg_batch_doubling_and_pipeline_route():
     """CFG path runs, and GenerationPipeline(sampler='dpm++') produces
     decoded images of the right shape/range."""
