@@ -38,6 +38,7 @@ not better execution.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -47,8 +48,40 @@ UNET_GFLOP_PER_IMAGE_STEP = 65.5  # benchmarks/flop_count.py
 DECODE_GFLOP_PER_IMAGE = 400.0
 A100_EFFECTIVE_FLOPS = 156e12 * 0.25
 
+# The axon tunnel intermittently refuses backend init (UNAVAILABLE) for
+# minutes at a time; a failed init is cached for the process lifetime, so
+# recovery requires a fresh process. Bounded self re-exec keeps one
+# transient tunnel outage from recording a red bench for the whole round.
+_RETRY_ENV = "UPGPT_BENCH_T0"
+_RETRY_BUDGET_S = 2400.0
+_RETRY_SLEEP_S = 120.0
+
+
+def _devices_with_retry():
+    import jax
+
+    try:
+        return jax.devices()
+    except RuntimeError as e:
+        if "UNAVAILABLE" not in str(e):
+            raise
+        t0 = float(os.environ.get(_RETRY_ENV, "0") or time.time())
+        os.environ[_RETRY_ENV] = str(t0)
+        waited = time.time() - t0
+        if waited > _RETRY_BUDGET_S:
+            print(f"backend UNAVAILABLE for {waited:.0f}s, giving up",
+                  file=sys.stderr)
+            raise
+        print(f"backend UNAVAILABLE ({waited:.0f}s in); retrying in "
+              f"{_RETRY_SLEEP_S:.0f}s via re-exec", file=sys.stderr)
+        time.sleep(_RETRY_SLEEP_S)
+        sys.stderr.flush()
+        os.execv(sys.executable,
+                 [sys.executable, os.path.abspath(__file__)] + sys.argv[1:])
+
 
 def main() -> None:
+    _devices_with_retry()
     import jax
     import jax.numpy as jnp
 
@@ -68,7 +101,7 @@ def main() -> None:
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     steps = 50
 
-    dev = jax.devices()[0]
+    dev = _devices_with_retry()[0]
     print(f"device: {dev}", file=sys.stderr)
     on_tpu = dev.platform != "cpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32

@@ -95,3 +95,55 @@ def test_upscale_chain_tiny():
     )
     assert out.shape == (2, 32, 24, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def _tiny_upscale_config():
+    return LatentDiffusionConfig(
+        unet=UNetConfig(
+            in_channels=6, model_channels=32, out_channels=3, num_res_blocks=1,
+            attention_resolutions=(2,), channel_mult=(1, 2), num_heads=4,
+            context_dim=64, use_flash_attention=False,
+        ),
+        vae=AutoencoderConfig(
+            embed_dim=3, z_channels=3, ch=32, ch_mult=(1, 2), num_res_blocks=1,
+            resolution=32,
+        ),
+        timesteps=100,
+        latent_size=(16, 12),
+        latent_channels=3,
+        pose_input_dim=None,
+        context_dim=64,
+        use_ema=False,
+    )
+
+
+def test_chained_upscale_pipeline():
+    """One call: base 256-stage sample -> on-device lr resize -> upscale
+    stage; equals running the two stages by hand with the same split keys."""
+    from test_latent_diffusion import tiny_batch, tiny_config
+    from upgpt_tpu.inference.pipeline import ChainedUpscalePipeline
+
+    base = LatentDiffusion(tiny_config())
+    up = LatentDiffusion(_tiny_upscale_config())
+    params = {
+        "base": base.init_params(jax.random.PRNGKey(0)),
+        "up": up.init_params(jax.random.PRNGKey(1)),
+    }
+    chained = ChainedUpscalePipeline(base, up, num_steps=4, eta=0.0)
+    batch = tiny_batch(b=2)
+    key = jax.random.PRNGKey(7)
+    out = np.asarray(chained.generate(params, batch, key))
+    assert out.shape == (2, 32, 24, 3)
+    assert np.isfinite(out).all()
+
+    # manual two-stage run with the same key split
+    k_base, k_up = jax.random.split(key)
+    img256 = chained.base.generate(params["base"], batch, k_base)
+    lr = prepare_lr_condition(img256, out_hw=(16, 12))
+    want = chained.up.generate(
+        params["up"],
+        {"text_emb": batch["text_emb"], "style_emb": batch["style_emb"],
+         "person_mask": lr},
+        k_up,
+    )
+    np.testing.assert_allclose(out, np.asarray(want), atol=1e-5)

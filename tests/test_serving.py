@@ -135,3 +135,25 @@ def test_stop_drains_queue(engine_parts):
     eng.stop()  # drain: no 5 s window at shutdown
     for f in futs:
         assert f.result(timeout=120) is not None
+
+
+def test_chained_upscale_serving():
+    """ServingEngine over the 2-stage ChainedUpscalePipeline: one submit
+    yields a 512-stage image; both stages batch through the same engine."""
+    from test_pipeline_extras import _tiny_upscale_config
+    from upgpt_tpu.inference.pipeline import ChainedUpscalePipeline
+
+    base = LatentDiffusion(tiny_config())
+    up = LatentDiffusion(_tiny_upscale_config())
+    params = {
+        "base": base.init_params(jax.random.PRNGKey(0)),
+        "up": up.init_params(jax.random.PRNGKey(1)),
+    }
+    chained = ChainedUpscalePipeline(base, up, num_steps=4, eta=0.0)
+    eng = ServingEngine(chained, params, batch_size=2, max_delay_s=0.05)
+    eng.start()
+    futs = [eng.submit(_cond(i)) for i in range(3)]
+    outs = [f.result(timeout=300) for f in futs]
+    eng.stop()
+    assert all(o.shape == (32, 24, 3) for o in outs)
+    assert eng.stats.summary()["requests"] == 3

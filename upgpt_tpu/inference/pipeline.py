@@ -269,3 +269,59 @@ class UpscalePipeline:
             "person_mask": lr,  # c_concat slot carries the lr image (3ch)
         }
         return self.inner.generate(params, batch, key)
+
+
+class ChainedUpscalePipeline:
+    """End-to-end 256->512 generation as one serving surface.
+
+    The app runs the chain interactively (generate, then upscale,
+    app.py:262-278 + 379-409); production serving wants ONE submit per
+    512px result. This pipeline exposes the ServingEngine contract
+    (`generate(params, batch, key)`), so `ServingEngine(chained, params)`
+    batches requests through BOTH stages: two jitted programs back to back,
+    the intermediate 256px batch never leaving the device.
+
+    `params` is {"base": <256-model params>, "up": <upscale-model params>}.
+    `batch` is the 256-stage conditioning (text_emb, style_emb, smpl,
+    person_mask); the upscale stage reuses text_emb/style_emb and takes its
+    c_concat from the generated 256px image (lr resize on device).
+    """
+
+    def __init__(
+        self,
+        base_model: LatentDiffusion,
+        upscale_model: LatentDiffusion,
+        num_steps: int = 50,
+        upscale_steps: Optional[int] = None,
+        eta: float = 1.0,
+        sampler: str = "ddim",
+        output_uint8: bool = False,
+        lr_hw: Optional[Tuple[int, int]] = None,
+    ):
+        # the intermediate stays float [-1,1] on device; only the final
+        # stage honors output_uint8
+        self.base = GenerationPipeline(
+            base_model, num_steps=num_steps, eta=eta, sampler=sampler)
+        self.up = GenerationPipeline(
+            upscale_model, num_steps=upscale_steps or num_steps, eta=eta,
+            sampler=sampler, output_uint8=output_uint8)
+        # upscale c_concat grid = the stage's latent size (128x96 released)
+        self.lr_hw = lr_hw or upscale_model.config.latent_size
+
+    def generate(
+        self,
+        params: Dict[str, Any],
+        batch: Dict[str, jax.Array],
+        key: jax.Array,
+        *,
+        shared_x_T: bool = False,
+    ) -> jax.Array:
+        k_base, k_up = jax.random.split(key)
+        img256 = self.base.generate(
+            params["base"], batch, k_base, shared_x_T=shared_x_T)
+        up_batch = {
+            "text_emb": batch["text_emb"],
+            "style_emb": batch.get("style_emb"),
+            "person_mask": prepare_lr_condition(img256, self.lr_hw),
+        }
+        return self.up.generate(params["up"], up_batch, k_up)
