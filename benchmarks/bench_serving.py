@@ -4,6 +4,8 @@ Streams N_REQ independent requests (each its own conditioning) through
 inference.serving.ServingEngine at the serving batch size and reports
 sustained request throughput plus queueing+compute latency percentiles.
 Usage: python benchmarks/bench_serving.py [batch] [n_batches]
+       python benchmarks/bench_serving.py chained [batch] [n_batches] \
+           [steps] [sampler]   # end-to-end 256->512 two-stage serving
 """
 
 import json
@@ -31,8 +33,14 @@ def main() -> None:
     from upgpt_tpu.utils.diagnostics import cast_floating
 
     enable_persistent_cache()
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    argv = sys.argv[1:]
+    chained = bool(argv) and argv[0] == "chained"
+    if chained:
+        argv = argv[1:]
+    batch = int(argv[0]) if argv else (8 if chained else 32)
+    n_batches = int(argv[1]) if len(argv) > 1 else (3 if chained else 6)
+    steps = int(argv[2]) if len(argv) > 2 else (20 if chained else 50)
+    sampler = argv[3] if len(argv) > 3 else ("dpm++" if chained else "ddim")
 
     dev = jax.devices()[0]
     on_tpu = dev.platform != "cpu"
@@ -49,7 +57,30 @@ def main() -> None:
     jax.block_until_ready(params)
     if on_tpu:
         params = cast_floating(params, jnp.bfloat16)
-    pipe = GenerationPipeline(model, num_steps=50, eta=1.0, output_uint8=True)
+    if chained:
+        from upgpt_tpu.inference.pipeline import ChainedUpscalePipeline
+
+        up_cfg = LatentDiffusionConfig.upscale_512(
+            unet=UNetConfig.upscale_512(
+                dtype=dtype, use_fused_groupnorm=on_tpu,
+                use_fused_transformer=on_tpu,
+            ),
+            vae=AutoencoderConfig.kl_f4(
+                dtype=dtype, use_flash_attention=on_tpu),
+        )
+        up_model = LatentDiffusion(up_cfg)
+        up_params = jax.jit(up_model.init_params)(jax.random.PRNGKey(1))
+        jax.block_until_ready(up_params)
+        if on_tpu:
+            up_params = cast_floating(up_params, jnp.bfloat16)
+        params = {"base": params, "up": up_params}
+        pipe = ChainedUpscalePipeline(
+            model, up_model, num_steps=steps, eta=1.0, sampler=sampler,
+            output_uint8=True)
+    else:
+        pipe = GenerationPipeline(
+            model, num_steps=steps, eta=1.0, sampler=sampler,
+            output_uint8=True)
 
     h, w = cfg.latent_size
     rng = np.random.default_rng(0)
@@ -86,8 +117,9 @@ def main() -> None:
     print(f"{n_req} requests in {dt:.2f}s over "
           f"{eng.stats.batches - warm_batches} batches "
           f"(occupancy incl. warmup {s['occupancy']:.2f})", file=sys.stderr)
+    tag = "512px_chained" if chained else "256px"
     print(json.dumps({
-        "metric": "serving_requests_per_sec_256px_ddim50",
+        "metric": f"serving_requests_per_sec_{tag}_{sampler}{steps}",
         "value": round(n_req / dt, 3),
         "unit": "req/s",
         "p50_latency_s": s["p50_latency_s"],
