@@ -11,6 +11,7 @@ run directory carries its merged config for reproducibility
     python -m upgpt_tpu.cli test   --base ... --ckpt ...   # dump + metrics
     python -m upgpt_tpu.cli eval   --dir logs/run/results
     python -m upgpt_tpu.cli convert --torch-ckpt model.ckpt --out weights/
+    python -m upgpt_tpu.cli serve  --base ... --ckpt ... --port 8000
 """
 
 from __future__ import annotations
@@ -447,14 +448,66 @@ def cmd_convert(cfg, args):
     print(f"converted {sorted(out)} -> {args.out}")
 
 
+def cmd_serve(cfg, args):
+    """Production HTTP daemon: concurrent requests batch into full
+    static-shape device programs through the ServingEngine (no reference
+    counterpart — its app serves one request at a time, app.py:262-278)."""
+    import jax
+
+    from upgpt_tpu.inference.http_serve import RequestBuilder, serve
+    from upgpt_tpu.inference.pipeline import GenerationPipeline
+    from upgpt_tpu.inference.serving import ServingEngine
+
+    model = instantiate_from_config(cfg["model"])
+    params = _restore_params(model, args.ckpt)
+    enc = _build_cond_encoder(
+        cfg, model, allow_debug=getattr(args, "debug_encoder", False))
+    if jax.devices()[0].platform != "cpu":
+        import jax.numpy as jnp
+
+        from upgpt_tpu.utils.diagnostics import cast_floating
+
+        params = cast_floating(params, jnp.bfloat16)
+    samp = cfg.get("sampling") or {}
+    pipe = GenerationPipeline(
+        model,
+        num_steps=args.steps or samp.get("ddim_steps", 50),
+        eta=samp.get("eta", 1.0),
+        guidance_scale=samp.get("guidance_scale", 1.0),
+        sampler=args.sampler or samp.get("sampler", "ddim"),
+        output_uint8=True,
+    )
+    engine = ServingEngine(
+        pipe, params, batch_size=args.batch, max_delay_s=args.max_delay,
+        base_seed=args.seed)
+    builder = RequestBuilder(
+        enc, mask_hw=tuple(model.config.latent_size),
+        context_dim=model.config.context_dim,
+        pose_dim=model.config.pose_input_dim)
+    engine.start()
+    server = serve(engine, builder, port=args.port, host=args.host)
+    print(f"serving on {args.host}:{server.server_address[1]} "
+          f"(batch {args.batch}, {pipe.sampler}-{pipe.num_steps})",
+          file=sys.stderr, flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        engine.stop()
+        print(json.dumps(engine.stats.summary()), file=sys.stderr)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("upgpt_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name in ("train", "train-vae", "sample", "test", "eval", "convert"):
+    for name in ("train", "train-vae", "sample", "test", "eval", "convert",
+                 "serve"):
         sp = sub.add_parser(name)
         sp.add_argument("--base", nargs="*", default=[])
         sp.add_argument("overrides", nargs="*", help="key=value dotlist")
-        if name in ("train", "sample", "test"):
+        if name in ("train", "sample", "test", "serve"):
             sp.add_argument("--debug-encoder", action="store_true",
                             help="allow hash-embedding conditioning (no CLIP "
                                  "weights; NOT output parity)")
@@ -488,6 +541,18 @@ def main(argv=None):
             sp.add_argument("--dir", required=True)
             sp.add_argument("--fid-weights", default=None,
                             help="pt_inception .pth for protocol-exact FID")
+        if name == "serve":
+            sp.add_argument("--ckpt", required=True)
+            sp.add_argument("--port", type=int, default=8000)
+            sp.add_argument("--host", default="0.0.0.0")
+            sp.add_argument("--batch", type=int, default=32)
+            sp.add_argument("--steps", type=int, default=None)
+            sp.add_argument("--seed", type=int, default=0)
+            sp.add_argument("--max-delay", type=float, default=0.25,
+                            help="batching window (s): tail latency traded "
+                                 "for batch occupancy")
+            sp.add_argument("--sampler", default=None,
+                            choices=("ddim", "dpm++"))
         if name == "convert":
             sp.add_argument("--torch-ckpt", required=True)
             sp.add_argument("--out", required=True)
@@ -507,7 +572,7 @@ def main(argv=None):
     cfg = merge_configs(args.base, args.overrides) if args.base else {}
     {"train": cmd_train, "train-vae": cmd_train_vae, "sample": cmd_sample,
      "test": cmd_test, "eval": cmd_eval,
-     "convert": cmd_convert}[args.cmd](cfg, args)
+     "convert": cmd_convert, "serve": cmd_serve}[args.cmd](cfg, args)
 
 
 if __name__ == "__main__":
