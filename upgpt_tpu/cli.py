@@ -453,30 +453,47 @@ def cmd_serve(cfg, args):
     static-shape device programs through the ServingEngine (no reference
     counterpart — its app serves one request at a time, app.py:262-278)."""
     import jax
+    import jax.numpy as jnp
 
     from upgpt_tpu.inference.http_serve import RequestBuilder, serve
     from upgpt_tpu.inference.pipeline import GenerationPipeline
     from upgpt_tpu.inference.serving import ServingEngine
+    from upgpt_tpu.utils.diagnostics import cast_floating
 
+    on_accel = jax.devices()[0].platform != "cpu"
     model = instantiate_from_config(cfg["model"])
     params = _restore_params(model, args.ckpt)
     enc = _build_cond_encoder(
         cfg, model, allow_debug=getattr(args, "debug_encoder", False))
-    if jax.devices()[0].platform != "cpu":
-        import jax.numpy as jnp
-
-        from upgpt_tpu.utils.diagnostics import cast_floating
-
+    if on_accel:
         params = cast_floating(params, jnp.bfloat16)
     samp = cfg.get("sampling") or {}
-    pipe = GenerationPipeline(
-        model,
-        num_steps=args.steps or samp.get("ddim_steps", 50),
-        eta=samp.get("eta", 1.0),
-        guidance_scale=samp.get("guidance_scale", 1.0),
-        sampler=args.sampler or samp.get("sampler", "ddim"),
-        output_uint8=True,
-    )
+    steps = args.steps or samp.get("ddim_steps", 50)
+    sampler = args.sampler or samp.get("sampler", "ddim")
+    if args.upscale_base:
+        # chained 256->512: one submit -> 512px result through both stages
+        from upgpt_tpu.inference.pipeline import ChainedUpscalePipeline
+
+        up_cfg = merge_configs(args.upscale_base, [])
+        up_model = instantiate_from_config(up_cfg["model"])
+        up_params = _restore_params(up_model, args.upscale_ckpt)
+        if on_accel:
+            up_params = cast_floating(up_params, jnp.bfloat16)
+        pipe = ChainedUpscalePipeline(
+            model, up_model, num_steps=steps, eta=samp.get("eta", 1.0),
+            sampler=sampler, output_uint8=True)
+        params = {"base": params, "up": up_params}
+        label = f"chained {sampler}-{steps}"
+    else:
+        pipe = GenerationPipeline(
+            model,
+            num_steps=steps,
+            eta=samp.get("eta", 1.0),
+            guidance_scale=samp.get("guidance_scale", 1.0),
+            sampler=sampler,
+            output_uint8=True,
+        )
+        label = f"{sampler}-{steps}"
     engine = ServingEngine(
         pipe, params, batch_size=args.batch, max_delay_s=args.max_delay,
         base_seed=args.seed)
@@ -487,8 +504,7 @@ def cmd_serve(cfg, args):
     engine.start()
     server = serve(engine, builder, port=args.port, host=args.host)
     print(f"serving on {args.host}:{server.server_address[1]} "
-          f"(batch {args.batch}, {pipe.sampler}-{pipe.num_steps})",
-          file=sys.stderr, flush=True)
+          f"(batch {args.batch}, {label})", file=sys.stderr, flush=True)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
@@ -553,6 +569,11 @@ def main(argv=None):
                                  "for batch occupancy")
             sp.add_argument("--sampler", default=None,
                             choices=("ddim", "dpm++"))
+            sp.add_argument("--upscale-base", nargs="*", default=None,
+                            help="upscale-stage config: serve the chained "
+                                 "256->512 pipeline (one submit per 512px "
+                                 "result)")
+            sp.add_argument("--upscale-ckpt", default=None)
         if name == "convert":
             sp.add_argument("--torch-ckpt", required=True)
             sp.add_argument("--out", required=True)

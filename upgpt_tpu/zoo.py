@@ -42,6 +42,7 @@ def build_latent_diffusion(
         "upscale": _upscale,
         "inshop_laion": _inshop_laion,
         "tiny": _tiny,  # CI/smoke geometry, not a released variant
+        "tiny_upscale": _tiny_upscale,  # CI geometry for the 256->512 chain
     }
     if variant not in builders:
         raise KeyError(f"unknown variant {variant!r}; have {list(builders)}")
@@ -124,6 +125,27 @@ def _tiny(comp, ckpt, flash) -> LatentDiffusionConfig:
             resolution=64, dtype=comp,
         ),
         timesteps=1000, latent_size=(32, 24), latent_channels=4,
+    )
+
+
+def _tiny_upscale(comp, ckpt, flash) -> LatentDiffusionConfig:
+    """Miniature upscale-stage geometry for CI: lr-image concat (6ch in,
+    3ch out), kl-f4-style z=3 first stage, no pose token — the `upscale`
+    topology at 1/50th the compute (pairs with `tiny` for chained tests)."""
+    return LatentDiffusionConfig(
+        unet=UNetConfig(
+            in_channels=6, model_channels=32, out_channels=3, num_res_blocks=1,
+            attention_resolutions=(2,), channel_mult=(1, 2), num_heads=4,
+            context_dim=768, use_checkpoint=ckpt, use_flash_attention=flash,
+            dtype=comp,
+        ),
+        vae=AutoencoderConfig(
+            embed_dim=3, z_channels=3, ch=32, ch_mult=(1, 2), num_res_blocks=1,
+            resolution=64, dtype=comp,
+        ),
+        timesteps=1000, latent_size=(32, 24), latent_channels=3,
+        pose_input_dim=None, linear_start=1e-4, linear_end=2e-2,
+        use_ema=False,
     )
 
 
