@@ -65,7 +65,8 @@ def _devices_with_retry():
     except RuntimeError as e:
         if "UNAVAILABLE" not in str(e):
             raise
-        t0 = float(os.environ.get(_RETRY_ENV, "0") or time.time())
+        t0_env = os.environ.get(_RETRY_ENV)
+        t0 = float(t0_env) if t0_env else time.time()
         os.environ[_RETRY_ENV] = str(t0)
         waited = time.time() - t0
         if waited > _RETRY_BUDGET_S:
