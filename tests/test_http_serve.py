@@ -101,6 +101,18 @@ def test_bad_shape_is_400(server_url):
     assert e.value.code == 400
 
 
+def test_bad_style_and_mask_shapes_are_400(server_url):
+    """Wrong-shape per-sample arrays must be rejected per request, never
+    reach the engine (they'd fail the whole device batch they pad into)."""
+    for bad in (
+        {"txt": "x", "style_emb": np.zeros((4, 64)).tolist()},
+        {"txt": "x", "person_mask": np.zeros((8, 5, 1)).tolist()},
+    ):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server_url + "/v1/generate", bad)
+        assert e.value.code == 400
+
+
 def test_default_mask_constants():
     m = default_person_mask(8, 8)
     assert set(np.unique(m)) == {-1.0, np.float32(-0.99215686)}

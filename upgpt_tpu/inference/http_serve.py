@@ -94,6 +94,11 @@ class RequestBuilder:
             )
         if "style_emb" in req:
             cond["style_emb"] = np.asarray(req["style_emb"], np.float32)
+            if cond["style_emb"].shape != (self.num_styles, self.context_dim):
+                raise ValueError(
+                    f"style_emb must be ({self.num_styles}, "
+                    f"{self.context_dim}), got {cond['style_emb'].shape}"
+                )
         else:
             cond["style_emb"] = np.zeros(
                 (self.num_styles, self.context_dim), np.float32
@@ -108,6 +113,13 @@ class RequestBuilder:
             cond["person_mask"] = np.asarray(req["person_mask"], np.float32)
             if cond["person_mask"].ndim == 2:
                 cond["person_mask"] = cond["person_mask"][..., None]
+            # a wrong-shape mask must 400 here, not fail the whole device
+            # batch it gets padded into
+            if cond["person_mask"].shape != (*self.mask_hw, 1):
+                raise ValueError(
+                    f"person_mask must be {(*self.mask_hw, 1)}, "
+                    f"got {cond['person_mask'].shape}"
+                )
         else:
             cond["person_mask"] = default_person_mask(*self.mask_hw)
         return cond
@@ -160,6 +172,7 @@ def make_serve_handler(engine, builder: RequestBuilder, timeout_s: float = 600.0
 
 
 def serve(engine, builder: RequestBuilder, port: int = 8000,
-          host: str = "0.0.0.0") -> ThreadingHTTPServer:
+          host: str = "0.0.0.0", timeout_s: float = 600.0) -> ThreadingHTTPServer:
     """Build the threading HTTP server (caller runs serve_forever)."""
-    return ThreadingHTTPServer((host, port), make_serve_handler(engine, builder))
+    return ThreadingHTTPServer(
+        (host, port), make_serve_handler(engine, builder, timeout_s=timeout_s))
