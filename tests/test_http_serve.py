@@ -116,3 +116,70 @@ def test_bad_style_and_mask_shapes_are_400(server_url):
 def test_default_mask_constants():
     m = default_person_mask(8, 8)
     assert set(np.unique(m)) == {-1.0, np.float32(-0.99215686)}
+
+
+def test_interpolate_endpoint(server_url):
+    """N-frame pose interpolation: one request, one device batch, ONE
+    shared initial noise. At random init the reference-faithful zero-init
+    U-Net out-conv makes eps identically 0, so the sample depends ONLY on
+    x_T — byte-identical frames are therefore the positive PROOF that the
+    frames share their noise (independent per-frame draws would differ),
+    and a different request seed must change the result."""
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    req = {
+        "txt": "red coat",
+        "smpl_src": rng.normal(size=(1, 85)).tolist(),
+        "smpl_dst": rng.normal(size=(1, 85)).tolist(),
+        "frames": 2,  # == engine batch: served as one batch
+        "seed": 123,
+    }
+    out = _post(server_url + "/v1/interpolate", req)
+    assert len(out["frames_b64"]) == 2
+    frames = [np.asarray(Image.open(io.BytesIO(base64.b64decode(b))))
+              for b in out["frames_b64"]]
+    assert frames[0].shape == (16, 16, 3)  # tiny geometry: 8x8 latent, f2
+    np.testing.assert_array_equal(frames[0], frames[1])  # shared x_T
+
+    out2 = _post(server_url + "/v1/interpolate", dict(req, seed=321))
+    f2 = np.asarray(Image.open(io.BytesIO(base64.b64decode(
+        out2["frames_b64"][0]))))
+    assert np.abs(frames[0].astype(int) - f2.astype(int)).max() > 0
+
+
+def test_interpolate_validation(server_url):
+    for bad in (
+        {"txt": "x", "frames": 1},             # too few frames
+        {"txt": "x", "frames": 3},             # exceeds engine batch (2)
+        {"txt": "x", "frames": 2},             # missing smpl endpoints
+    ):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server_url + "/v1/interpolate", bad)
+        assert e.value.code == 400
+
+
+def test_style_texts_mixing(server_url):
+    """Per-slot pooled-text override (the app's style mixing): overridden
+    slots carry the pooled text embedding, the rest stay; wrong slot count
+    is a 400; the daemon serves the mixed request end to end."""
+    from upgpt_tpu.inference.encoders import DebugConditioningEncoder
+    from upgpt_tpu.inference.http_serve import RequestBuilder
+
+    enc = DebugConditioningEncoder(context_dim=64, text_len=7)
+    builder = RequestBuilder(enc, mask_hw=(8, 8), context_dim=64,
+                             text_len=7, pose_dim=85)
+    texts = [None] * 9
+    texts[4] = "blue denim jacket"
+    cond = builder.build({"txt": "red coat", "style_texts": texts})
+    np.testing.assert_array_equal(
+        cond["style_emb"][4], np.asarray(enc.text_pooled([texts[4]]))[0])
+    assert np.array_equal(cond["style_emb"][0], np.zeros(64))  # untouched
+
+    ok = _post(server_url + "/v1/generate",
+               {"txt": "red coat", "style_texts": texts})
+    assert "image_b64" in ok
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server_url + "/v1/generate",
+              {"txt": "x", "style_texts": ["x"] * 4})  # wrong slot count
+    assert e.value.code == 400

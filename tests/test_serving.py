@@ -137,6 +137,50 @@ def test_stop_drains_queue(engine_parts):
         assert f.result(timeout=120) is not None
 
 
+def test_group_atomicity_and_pushback(engine_parts):
+    """A group never splits across batches: 3 + 2 into a batch-4 engine
+    packs as (3 + 1 pad) then (2 + 2 pads), never (3+1, 1+3)."""
+    pipe, params = engine_parts
+    eng = ServingEngine(pipe, params, batch_size=4, max_delay_s=0.2)
+    eng.start()
+    futs_a = eng.submit_group([_cond(i) for i in range(3)])
+    futs_b = eng.submit_group([_cond(10 + i) for i in range(2)])
+    outs = [f.result(timeout=300) for f in futs_a + futs_b]
+    eng.stop()
+    assert all(o.shape == outs[0].shape for o in outs)
+    assert eng.stats.summary()["requests"] == 5
+    assert eng.stats.batches == 2
+    assert eng.stats.padded_slots == (4 - 3) + (4 - 2)
+
+
+def test_group_larger_than_batch_rejected(engine_parts):
+    pipe, params = engine_parts
+    eng = ServingEngine(pipe, params, batch_size=2, max_delay_s=0.01)
+    eng.start()
+    with pytest.raises(ValueError, match="exceeds batch_size"):
+        eng.submit_group([_cond(i) for i in range(3)])
+    eng.stop()
+
+
+def test_x_T_seed_shares_initial_noise(engine_parts):
+    """Equal x_T_seeds in one batch -> identical x_T: identical conds with
+    the same seed produce identical images (eta=0 sampler is deterministic
+    given x_T), a different seed produces a different image."""
+    pipe, params = engine_parts
+    eng = ServingEngine(pipe, params, batch_size=4, max_delay_s=0.2)
+    eng.start()
+    base = _cond(0)
+    conds = []
+    for seed in (7, 7, 9):
+        c = dict(base)
+        c["x_T_seed"] = np.uint32(seed)
+        conds.append(c)
+    outs = [f.result(timeout=300) for f in eng.submit_group(conds)]
+    eng.stop()
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-6)
+    assert np.abs(outs[0] - outs[2]).max() > 1e-3
+
+
 def test_chained_upscale_serving():
     """ServingEngine over the 2-stage ChainedUpscalePipeline: one submit
     yields a 512-stage image; both stages batch through the same engine."""

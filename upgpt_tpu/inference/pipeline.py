@@ -120,6 +120,17 @@ class GenerationPipeline:
         if shared_x_T:
             x_T = jax.random.normal(k_noise, (1, h, w, cfg.latent_channels))
             x_T = jnp.broadcast_to(x_T, shape)
+        elif "x_T_seed" in batch:
+            # per-sample x_T keyed by an explicit (b,) int32 seed: samples
+            # with EQUAL seeds in one batch share their initial noise — the
+            # reference's seeded shared-x_T interpolation (ddpm.py:1433-1437)
+            # expressed per request group inside a packed serving batch
+            x_T = jax.vmap(
+                lambda s: jax.random.normal(
+                    jax.random.fold_in(k_noise, s),
+                    (h, w, cfg.latent_channels),
+                )
+            )(batch["x_T_seed"].astype(jnp.uint32))
         else:
             x_T = jax.random.normal(k_noise, shape)
 

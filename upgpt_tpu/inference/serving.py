@@ -103,6 +103,7 @@ class ServingEngine:
             self.params = jax.device_put(params, replicated_sharding(mesh))
         self.stats = ServingStats()
         self._queue: "queue.Queue" = queue.Queue()
+        self._pushback = None  # group that didn't fit the batch being packed
         self._thread: Optional[threading.Thread] = None
         self._stopping = threading.Event()
 
@@ -116,11 +117,26 @@ class ServingEngine:
         person_mask (h, w, 1). Shapes must match the engine's model variant
         — every request in a batch shares the compiled program.
         """
+        return self.submit_group([cond])[0]
+
+    def submit_group(self, conds: List[Dict[str, Any]]) -> List[Future]:
+        """Enqueue a group that is guaranteed to be served in ONE batch.
+
+        Needed wherever samples must share batch-level randomness — e.g.
+        interpolation sweeps whose frames carry equal `x_T_seed`s: equal
+        seeds only yield equal initial noise within one packed batch
+        (pipeline x_T is keyed by fold_in(batch_key, seed)).
+        """
         if self._thread is None:
             raise RuntimeError("engine not started")
-        fut: Future = Future()
-        self._queue.put((cond, fut, time.perf_counter()))
-        return fut
+        if not conds:
+            return []
+        if len(conds) > self.batch_size:
+            raise ValueError(
+                f"group of {len(conds)} exceeds batch_size {self.batch_size}")
+        futs: List[Future] = [Future() for _ in conds]
+        self._queue.put((list(conds), futs, time.perf_counter()))
+        return futs
 
     def start(self) -> None:
         if self._thread is not None:
@@ -141,27 +157,44 @@ class ServingEngine:
     # ---------------------------------------------------------- dispatcher
 
     def _collect(self, wait: bool) -> List:
-        """One batch worth of requests; [] when none are available.
+        """One batch worth of request groups; [] when none are available.
 
         `wait=False` (a batch is in flight): return immediately on an empty
         queue so the caller can fence the in-flight batch instead of
         blocking — otherwise a lone request's future would hang until the
         NEXT request arrived. `wait=True`: block for the first request, then
-        fill up to batch_size within the batching window. The shutdown
-        sentinel (None) stops collection; a collected tail is still served.
+        fill up to batch_size within the batching window. Groups are atomic:
+        one that doesn't fit the remaining space is held in `_pushback` and
+        leads the next batch. The shutdown sentinel (None) stops collection;
+        a collected tail is still served.
         """
         items: List = []
-        try:
-            if wait and not self._stopping.is_set():
-                first = self._queue.get()
-            else:
-                first = self._queue.get_nowait()
-        except queue.Empty:
-            return items
-        if first is not None:
-            items.append(first)
+        count = 0
+
+        def take(item) -> bool:
+            nonlocal count
+            if count + len(item[0]) > self.batch_size:
+                self._pushback = item
+                return False
+            items.append(item)
+            count += len(item[0])
+            return True
+
+        if self._pushback is not None:
+            item, self._pushback = self._pushback, None
+            take(item)  # always fits: group <= batch_size, batch empty
+        if not items:
+            try:
+                if wait and not self._stopping.is_set():
+                    first = self._queue.get()
+                else:
+                    first = self._queue.get_nowait()
+            except queue.Empty:
+                return items
+            if first is not None:
+                take(first)
         deadline = time.perf_counter() + self.max_delay_s
-        while len(items) < self.batch_size:
+        while count < self.batch_size:
             remaining = deadline - time.perf_counter()
             if self._stopping.is_set():
                 # no window at shutdown: just drain whatever is queued
@@ -172,13 +205,14 @@ class ServingEngine:
                 break
             if nxt is None:
                 break
-            items.append(nxt)
+            if not take(nxt):  # held in _pushback for the next batch
+                break
         return items
 
     def _pack(self, items: List) -> Dict[str, Any]:
         """Pad request conditionings to the static batch shape."""
-        n_pad = self.batch_size - len(items)
-        conds = [it[0] for it in items]
+        conds = [c for it in items for c in it[0]]
+        n_pad = self.batch_size - len(conds)
         keys = conds[0].keys()
         batch = {}
         for k in keys:
@@ -199,12 +233,16 @@ class ServingEngine:
             try:
                 host = np.asarray(out)
             except Exception as exc:  # noqa: BLE001 — fail that batch only
-                for _, fut, _ in items:
-                    fut.set_exception(exc)
+                for _, futs, _ in items:
+                    for fut in futs:
+                        fut.set_exception(exc)
                 return
-            for i, (_, fut, t_in) in enumerate(items):
-                self.stats.latencies_s.append(t_done - t_in)
-                fut.set_result(host[i])
+            i = 0
+            for _, futs, t_in in items:
+                for fut in futs:
+                    self.stats.latencies_s.append(t_done - t_in)
+                    fut.set_result(host[i])
+                    i += 1
 
         while True:
             items = self._collect(wait=prev is None)
@@ -212,9 +250,11 @@ class ServingEngine:
                 if prev is not None:
                     fence(prev)
                     prev = None
-                if self._stopping.is_set() and self._queue.empty():
+                if (self._stopping.is_set() and self._queue.empty()
+                        and self._pushback is None):
                     return
                 continue
+            n_samples = sum(len(futs) for _, futs, _ in items)
             try:
                 batch = self._pack(items)
                 if self.mesh is not None:
@@ -224,13 +264,14 @@ class ServingEngine:
                 key = jax.random.fold_in(base_key, self.stats.batches)
                 out = self.pipeline.generate(self.params, batch, key)
             except Exception as exc:  # noqa: BLE001 — shape/tracing errors
-                for _, fut, _ in items:
-                    fut.set_exception(exc)
+                for _, futs, _ in items:
+                    for fut in futs:
+                        fut.set_exception(exc)
                 continue
             self.stats.batches += 1
-            self.stats.requests += len(items)
+            self.stats.requests += n_samples
             self.stats.images += self.batch_size
-            self.stats.padded_slots += self.batch_size - len(items)
+            self.stats.padded_slots += self.batch_size - n_samples
             if prev is not None:
                 fence(prev)  # overlap: current batch computes during this d2h
             prev = (out, items, time.perf_counter())
