@@ -181,6 +181,45 @@ def test_x_T_seed_shares_initial_noise(engine_parts):
     assert np.abs(outs[0] - outs[2]).max() > 1e-3
 
 
+def test_cli_dp_serving(tmp_path):
+    """`cli serve --dp 2`: engine construction over a 2-device data mesh
+    (XLA-path model rebuild), requests served through the sharded engine."""
+    import argparse
+
+    import orbax.checkpoint as ocp
+
+    from upgpt_tpu.cli import _build_serving
+    from upgpt_tpu.zoo import build_latent_diffusion
+
+    model = build_latent_diffusion(variant="tiny", use_flash_attention=False)
+    params = model.init_params(jax.random.PRNGKey(0))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(tmp_path / "ckpt", params)
+    ckptr.wait_until_finished()
+
+    cfg = {"model": {"target": "upgpt_tpu.zoo.build_latent_diffusion",
+                     "params": {"variant": "tiny",
+                                "use_flash_attention": False}},
+           "sampling": {"ddim_steps": 4, "eta": 0.0}}
+    args = argparse.Namespace(
+        ckpt=str(tmp_path / "ckpt"), debug_encoder=True, dp=2, batch=4,
+        max_delay=0.05, seed=0, steps=4, sampler="ddim",
+        upscale_base=None, upscale_ckpt=None)
+    engine, builder, label = _build_serving(cfg, args)
+    assert "dp2" in label
+    assert engine.mesh is not None and engine.mesh.shape["data"] == 2
+    # mesh path must run the XLA lowering (Pallas is per-device only)
+    assert not engine.pipeline.model.config.unet.use_fused_groupnorm
+    engine.start()
+    futs = [engine.submit(builder.build({"txt": f"coat {i}"}))
+            for i in range(2)]
+    outs = [f.result(timeout=300) for f in futs]
+    engine.stop()
+    h, w = model.config.latent_size
+    assert all(o.shape == (h * 8, w * 8, 3) or o.shape[-1] == 3
+               for o in outs)
+
+
 def test_chained_upscale_serving():
     """ServingEngine over the 2-stage ChainedUpscalePipeline: one submit
     yields a 512-stage image; both stages batch through the same engine."""

@@ -189,11 +189,8 @@ def _tp_shard(model, params, tp, batch_size=None):
     """
     if not tp or tp <= 1:
         return model, params, lambda b: b
-    import dataclasses
-
     import jax
 
-    from upgpt_tpu.diffusion.latent_diffusion import LatentDiffusion
     from upgpt_tpu.parallel import tp as tp_mod
     from upgpt_tpu.parallel.mesh import batch_sharding, create_mesh
 
@@ -204,14 +201,8 @@ def _tp_shard(model, params, tp, batch_size=None):
         raise SystemExit(
             f"--batch {batch_size} does not divide the data axis "
             f"({n_dev} devices / tp {tp} = {n_dev // tp} shards)")
-    cfg = dataclasses.replace(
-        model.config,
-        unet=dataclasses.replace(
-            model.config.unet, use_flash_attention=False,
-            use_fused_groupnorm=False, use_fused_transformer=False,
-        ),
-    )
-    model = LatentDiffusion(cfg)
+    model = _xla_path_model(model)
+    cfg = model.config
     mesh = create_mesh((n_dev // tp, tp))
     tp_mod.validate_divisibility(
         params, tp=tp, num_heads=cfg.unet.num_heads)
@@ -448,14 +439,31 @@ def cmd_convert(cfg, args):
     print(f"converted {sorted(out)} -> {args.out}")
 
 
-def cmd_serve(cfg, args):
-    """Production HTTP daemon: concurrent requests batch into full
-    static-shape device programs through the ServingEngine (no reference
-    counterpart — its app serves one request at a time, app.py:262-278)."""
+def _xla_path_model(model):
+    """Rebuild a model with the Pallas-kernel flags off: the fused kernels
+    are per-device programs GSPMD cannot partition, so any mesh-sharded
+    path (--tp, --dp) runs the XLA attention/GN lowering instead."""
+    import dataclasses
+
+    from upgpt_tpu.diffusion.latent_diffusion import LatentDiffusion
+
+    cfg = dataclasses.replace(
+        model.config,
+        unet=dataclasses.replace(
+            model.config.unet, use_flash_attention=False,
+            use_fused_groupnorm=False, use_fused_transformer=False,
+        ),
+    )
+    return LatentDiffusion(cfg)
+
+
+def _build_serving(cfg, args):
+    """(engine, builder, label) for `cli serve` — factored out so tests can
+    drive the construction (incl. --dp) without the blocking HTTP loop."""
     import jax
     import jax.numpy as jnp
 
-    from upgpt_tpu.inference.http_serve import RequestBuilder, serve
+    from upgpt_tpu.inference.http_serve import RequestBuilder
     from upgpt_tpu.inference.pipeline import GenerationPipeline
     from upgpt_tpu.inference.serving import ServingEngine
     from upgpt_tpu.utils.diagnostics import cast_floating
@@ -467,6 +475,19 @@ def cmd_serve(cfg, args):
         cfg, model, allow_debug=getattr(args, "debug_encoder", False))
     if on_accel:
         params = cast_floating(params, jnp.bfloat16)
+    dp = getattr(args, "dp", 1) or 1
+    mesh = None
+    if dp > 1:
+        # data-parallel serving: one replicated program, batches sharded
+        # over the mesh's data axis (reference equivalent: none — its app
+        # is single-GPU; DDP is training-only, main.py:581)
+        from upgpt_tpu.parallel.mesh import create_mesh
+
+        n_dev = len(jax.devices())
+        if dp > n_dev:
+            raise SystemExit(f"--dp {dp} exceeds {n_dev} devices")
+        mesh = create_mesh((dp, 1), devices=jax.devices()[:dp])
+        model = _xla_path_model(model)
     samp = cfg.get("sampling") or {}
     steps = args.steps or samp.get("ddim_steps", 50)
     sampler = args.sampler or samp.get("sampler", "ddim")
@@ -479,6 +500,8 @@ def cmd_serve(cfg, args):
         up_params = _restore_params(up_model, args.upscale_ckpt)
         if on_accel:
             up_params = cast_floating(up_params, jnp.bfloat16)
+        if mesh is not None:
+            up_model = _xla_path_model(up_model)
         pipe = ChainedUpscalePipeline(
             model, up_model, num_steps=steps, eta=samp.get("eta", 1.0),
             sampler=sampler, output_uint8=True)
@@ -494,13 +517,25 @@ def cmd_serve(cfg, args):
             output_uint8=True,
         )
         label = f"{sampler}-{steps}"
+    if mesh is not None:
+        label += f" dp{mesh.shape['data']}"
     engine = ServingEngine(
         pipe, params, batch_size=args.batch, max_delay_s=args.max_delay,
-        base_seed=args.seed)
+        base_seed=args.seed, mesh=mesh)
     builder = RequestBuilder(
         enc, mask_hw=tuple(model.config.latent_size),
         context_dim=model.config.context_dim,
         pose_dim=model.config.pose_input_dim)
+    return engine, builder, label
+
+
+def cmd_serve(cfg, args):
+    """Production HTTP daemon: concurrent requests batch into full
+    static-shape device programs through the ServingEngine (no reference
+    counterpart — its app serves one request at a time, app.py:262-278)."""
+    from upgpt_tpu.inference.http_serve import serve
+
+    engine, builder, label = _build_serving(cfg, args)
     engine.start()
     server = serve(engine, builder, port=args.port, host=args.host)
     print(f"serving on {args.host}:{server.server_address[1]} "
@@ -567,6 +602,10 @@ def main(argv=None):
             sp.add_argument("--max-delay", type=float, default=0.25,
                             help="batching window (s): tail latency traded "
                                  "for batch occupancy")
+            sp.add_argument("--dp", type=int, default=1,
+                            help="data-parallel serving over N devices: one "
+                                 "replicated program, batches sharded over "
+                                 "the mesh data axis (batch must divide)")
             sp.add_argument("--sampler", default=None,
                             choices=("ddim", "dpm++"))
             sp.add_argument("--upscale-base", nargs="*", default=None,
