@@ -89,9 +89,10 @@ def test_eval_harness_protocol(tmp_path):
     assert Image.open(tmp_path / "samples" / "img0.jpg").size == (176, 256)
 
     feature_fn = lambda x: np.asarray(x).reshape(x.shape[0], -1)[:, :32]
-    metrics = evaluate_dirs(str(tmp_path), fid_feature_fn=feature_fn)
+    metrics = evaluate_dirs(str(tmp_path), fid_feature_fn=feature_fn,
+                            fid_name="clip")
     assert 0.5 < metrics["ssim"] <= 1.0
-    assert "fid" in metrics and metrics["fid"] >= 0
+    assert "fid_clip" in metrics and metrics["fid_clip"] >= 0
     assert (tmp_path / "metrics.csv").exists() and (tmp_path / "metrics.txt").exists()
 
 

@@ -134,5 +134,7 @@ def test_fid_end_to_end_on_dirs(tmp_path, inception_params):
     fid_fn = InceptionFeatureFn(inception_params)
     metrics = evaluate_dirs(str(tmp_path), crop_hw=(256, 176),
                             fid_feature_fn=fid_fn)
-    assert "fid" in metrics and np.isfinite(metrics["fid"])
-    assert metrics["fid"] >= 0.0
+    # the key names the extractor: a CLIP-FID can't masquerade as protocol FID
+    assert "fid_inception" in metrics and np.isfinite(metrics["fid_inception"])
+    assert metrics["fid_inception"] >= 0.0
+    assert "fid" not in metrics

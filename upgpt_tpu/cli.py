@@ -300,7 +300,8 @@ def cmd_test(cfg, args):
         n += len(imgs)
         if args.max_images and n >= args.max_images:
             break
-    metrics = evaluate_dirs(str(results), crop_hw=crop_hw)
+    metrics = evaluate_dirs(str(results), crop_hw=crop_hw,
+                            fid_feature_fn=_fid_fn(cfg, args))
     print(json.dumps(metrics))
 
 
@@ -364,19 +365,31 @@ def cmd_train_vae(cfg, args):
     print(f"done at step {step}; checkpoints in {logdir}")
 
 
+def _fid_fn(cfg, args):
+    """Protocol-FID extractor from --fid-weights / eval.fid_weights:
+    pytorch_fid's InceptionV3 pool3 features (reference
+    scripts/eval_metrics.py:100-112). `.pth` files go through the torch
+    converter; an orbax dir (pre-converted, e.g. by tests) loads directly."""
+    fid_weights = getattr(args, "fid_weights", None) or (
+        cfg.get("eval") or {}).get("fid_weights")
+    if not fid_weights:
+        return None
+    from upgpt_tpu.eval.inception import InceptionFeatureFn, load_pt_inception
+
+    if Path(fid_weights).is_dir():
+        import orbax.checkpoint as ocp
+
+        params = ocp.StandardCheckpointer().restore(
+            Path(fid_weights).absolute())
+    else:
+        params = load_pt_inception(fid_weights)
+    return InceptionFeatureFn(params)
+
+
 def cmd_eval(cfg, args):
     from upgpt_tpu.eval.harness import evaluate_dirs
 
-    fid_fn = None
-    fid_weights = getattr(args, "fid_weights", None) or (
-        cfg.get("eval") or {}).get("fid_weights")
-    if fid_weights:
-        # protocol FID: pytorch_fid's InceptionV3 pool3 features
-        # (reference scripts/eval_metrics.py:100-112)
-        from upgpt_tpu.eval.inception import InceptionFeatureFn, load_pt_inception
-
-        fid_fn = InceptionFeatureFn(load_pt_inception(fid_weights))
-    print(json.dumps(evaluate_dirs(args.dir, fid_feature_fn=fid_fn)))
+    print(json.dumps(evaluate_dirs(args.dir, fid_feature_fn=_fid_fn(cfg, args))))
 
 
 def cmd_convert(cfg, args):
@@ -588,10 +601,12 @@ def main(argv=None):
                                  "transformer matmuls over a (data x model) "
                                  "mesh (parallel/tp.py); batch still shards "
                                  "over the data axis")
+        if name in ("eval", "test"):
+            sp.add_argument("--fid-weights", default=None,
+                            help="pt_inception .pth (or converted orbax dir) "
+                                 "for protocol-exact FID")
         if name == "eval":
             sp.add_argument("--dir", required=True)
-            sp.add_argument("--fid-weights", default=None,
-                            help="pt_inception .pth for protocol-exact FID")
         if name == "serve":
             sp.add_argument("--ckpt", required=True)
             sp.add_argument("--port", type=int, default=8000)

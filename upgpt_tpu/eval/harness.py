@@ -45,6 +45,7 @@ def evaluate_dirs(
     batch_size: int = 16,
     lpips_fn: Optional[Callable] = None,
     fid_feature_fn: Optional[Callable] = None,
+    fid_name: Optional[str] = None,
 ) -> Dict[str, float]:
     """Evaluate `results_dir/samples` against `results_dir/gt`.
 
@@ -97,7 +98,13 @@ def evaluate_dirs(
     if lpips_fn is not None:
         metrics["lpips"] = float(np.mean([r["lpips"] for r in rows]))
     if fid_feature_fn is not None:
-        metrics["fid"] = fid_from_features(
+        # the metric key names its extractor (fid_inception = protocol FID
+        # via the pytorch_fid InceptionV3 pool3 port; fid_clip = the
+        # CLIP-pooled variant) so a CLIP-FID can never masquerade as the
+        # reference protocol's number in metrics.csv/txt
+        name = fid_name or getattr(fid_feature_fn, "fid_name", None)
+        key = f"fid_{name}" if name else "fid"
+        metrics[key] = fid_from_features(
             np.concatenate(feats_s), np.concatenate(feats_g)
         )
 

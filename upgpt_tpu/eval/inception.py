@@ -277,6 +277,9 @@ class InceptionFeatureFn:
     normalize_input step, so only the resize is applied here)."""
 
     params: Dict
+    # picked up by evaluate_dirs: the metric lands as `fid_inception`,
+    # distinguishing the protocol FID from any CLIP-pooled fallback
+    fid_name = "inception"
 
     def __post_init__(self):
         model = InceptionV3Features()
