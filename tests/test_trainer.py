@@ -239,3 +239,73 @@ def test_trainstep_snapshots_and_sigusr2(tmp_path, loaders):
     raw = ocp.StandardCheckpointer().restore(
         (tmp_path / "run" / "checkpoints" / snaps[-1]).absolute())
     assert "params" in raw and "opt_state" not in raw
+
+
+def test_wandb_option_streams_scalars(tmp_path, loaders, monkeypatch):
+    """TrainerConfig.wandb=True streams the same scalars to a wandb run
+    (reference main.py:615-639's wandb logger choice). Exercised against a
+    stub module — the real package is optional and import-guarded."""
+    import sys
+    import types
+
+    calls = {"init": [], "log": [], "finish": 0}
+
+    class _Run:
+        def log(self, scalars, step=None):
+            calls["log"].append((dict(scalars), step))
+
+        def finish(self):
+            calls["finish"] += 1
+
+    stub = types.ModuleType("wandb")
+    stub.init = lambda **kw: (calls["init"].append(kw), _Run())[1]
+    monkeypatch.setitem(sys.modules, "wandb", stub)
+
+    train, val = loaders
+    model = LatentDiffusion(tiny_config())
+    enc = DebugConditioningEncoder(context_dim=64, text_len=7)
+    cfg = TrainerConfig(
+        base_learning_rate=1e-4, scale_lr=False, batch_size=2, max_epochs=1,
+        log_every=1, log_images_every=None, logdir=str(tmp_path / "run"),
+        early_stop_patience=None, warm_up_steps=1, wandb=True,
+    )
+    trainer = Trainer(model, cfg, enc)
+    trainer.fit(train, val)
+
+    assert calls["init"] and calls["init"][0]["project"] == "upgpt-tpu"
+    assert calls["init"][0]["config"]["batch_size"] == 2
+    assert calls["finish"] == 1
+    logged_keys = set().union(*(set(s) for s, _ in calls["log"]))
+    assert "loss_simple" in logged_keys
+    assert any(k.startswith("val/") for k in logged_keys)
+    # steps are ints (wandb rejects float steps)
+    assert all(isinstance(st, int) for _, st in calls["log"])
+
+
+def test_wandb_absent_degrades_gracefully(tmp_path, loaders, monkeypatch):
+    """wandb=True without the package installed must not break training."""
+    import builtins
+    import sys
+
+    monkeypatch.delitem(sys.modules, "wandb", raising=False)
+    real_import = builtins.__import__
+
+    def _imp(name, *a, **k):
+        if name == "wandb":
+            raise ImportError("No module named 'wandb'")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", _imp)
+
+    train, val = loaders
+    model = LatentDiffusion(tiny_config())
+    enc = DebugConditioningEncoder(context_dim=64, text_len=7)
+    cfg = TrainerConfig(
+        base_learning_rate=1e-4, scale_lr=False, batch_size=2, max_epochs=1,
+        log_every=1, log_images_every=None, logdir=str(tmp_path / "run"),
+        early_stop_patience=None, warm_up_steps=1, wandb=True,
+    )
+    trainer = Trainer(model, cfg, enc)
+    assert trainer._wandb is None
+    state = trainer.fit(train, val)
+    assert int(state.step) > 0

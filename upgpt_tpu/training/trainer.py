@@ -162,6 +162,11 @@ class TrainerConfig:
     seed: int = 42
     warm_up_steps: int = 1
     scheduler_f_start: float = 1e-6
+    # W&B logger option (reference main.py:615-639 offers testtube|wandb;
+    # TB/jsonl remain the default). Import-guarded: if wandb is absent the
+    # trainer degrades to jsonl+TB with a warning instead of failing.
+    wandb: bool = False
+    wandb_project: str = "upgpt-tpu"
     # uint8 image + bf16 embedding host->device transport, dequantized
     # inside the jitted step. EXACT for uint8-sourced images (every
     # DeepFashion pixel): round((v/255*2-1 + 1)*127.5) == v and
@@ -207,6 +212,24 @@ class Trainer:
                 self._tb = SummaryWriter(str(self.logdir / "tb"))
             except Exception:
                 self._tb = None
+        # optional W&B stream of the same scalars (main.py:615-639's
+        # wandb logger choice); rank-zero only like every other artifact
+        self._wandb = None
+        if self._primary and config.wandb:
+            try:
+                import wandb
+
+                self._wandb = wandb.init(
+                    project=config.wandb_project,
+                    name=self.logdir.name,
+                    dir=str(self.logdir),
+                    config=dataclasses.asdict(config),
+                    resume="allow",
+                )
+            except Exception as e:  # wandb absent or offline-init failure
+                print(f"wandb disabled ({e!r}); logging to jsonl/tb only",
+                      file=sys.stderr)
+                self._wandb = None
 
         # LR rule: lr = accum * ngpu * bs * base (main.py:748-767) where the
         # reference bs is PER-GPU, so lr scales with the EFFECTIVE global
@@ -398,6 +421,11 @@ class Trainer:
             for k, v in rec.items():
                 if isinstance(v, float) and k not in ("step", "epoch"):
                     self._tb.scalar(k, v, rec["step"])
+        if self._wandb is not None and "step" in rec:
+            scalars = {k: v for k, v in rec.items()
+                       if isinstance(v, float) and k not in ("step", "epoch")}
+            if scalars:
+                self._wandb.log(scalars, step=int(rec["step"]))
 
     def log_images(self, state: TrainState, frozen, batch: Dict, step: int) -> None:
         """Short-DDIM EMA sample grid (ImageLogger, main.py:302-450).
@@ -658,4 +686,6 @@ class Trainer:
                                  epoch=locals().get("epoch", start_epoch))
             raise
         self._join_pending_save()
+        if self._wandb is not None:
+            self._wandb.finish()
         return state
