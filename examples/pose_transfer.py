@@ -21,6 +21,9 @@ def main():
     p.add_argument("--ckpt", required=True)
     p.add_argument("--folder", required=True)
     p.add_argument("--image-dir", default="img_256")
+    p.add_argument("--image-size", type=int, nargs=2, default=[256, 192])
+    p.add_argument("--f", type=int, default=8, dest="downsample",
+                   help="latent downsample factor of the first stage")
     p.add_argument("--data-file", required=True)
     p.add_argument("--src", required=True, help="source image id (style donor)")
     p.add_argument("--pose-of", required=True, help="image id whose pose to take")
@@ -48,6 +51,7 @@ def main():
     ds = DeepFashionPair(
         folder=args.folder, image_dir=args.image_dir,
         pair_file=[], data_file=args.data_file, input_mask_type="bbox",
+        image_size=tuple(args.image_size), f=args.downsample,
     )
     ds.rows = [{"from": args.src, "to": args.pose_of}]
     batch = enc.encode_batch(collate([ds[0]]))

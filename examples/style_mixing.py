@@ -19,6 +19,10 @@ def main():
     p.add_argument("--ckpt", required=True)
     p.add_argument("--folder", required=True)
     p.add_argument("--data-file", required=True)
+    p.add_argument("--image-dir", default="img_256")
+    p.add_argument("--image-size", type=int, nargs=2, default=[256, 192])
+    p.add_argument("--f", type=int, default=8, dest="downsample",
+                   help="latent downsample factor of the first stage")
     p.add_argument("--src", required=True)
     p.add_argument("--style-texts", default="{}",
                    help='JSON: {"top": "red shirt", ...}')
@@ -47,8 +51,9 @@ def main():
     enc = _build_cond_encoder(cfg, model, allow_debug=args.debug_encoder)
 
     ds = DeepFashionPair(
-        folder=args.folder, image_dir="img_256", pair_file=[],
+        folder=args.folder, image_dir=args.image_dir, pair_file=[],
         data_file=args.data_file, input_mask_type="bbox",
+        image_size=tuple(args.image_size), f=args.downsample,
     )
     ds.rows = [{"from": args.src, "to": args.src}]
     batch = enc.encode_batch(collate([ds[0]]))

@@ -264,6 +264,9 @@ class UpscalePipeline:
                  eta: float = 1.0, sampler: str = "ddim"):
         self.inner = GenerationPipeline(
             model, num_steps=num_steps, eta=eta, sampler=sampler)
+        # lr concat grid = this stage's latent size (128x96 released;
+        # follows the config so tiny CI geometries work too)
+        self.lr_hw = model.config.latent_size
 
     def upscale(
         self,
@@ -273,7 +276,7 @@ class UpscalePipeline:
         style_emb: Optional[jax.Array],
         key: jax.Array,
     ) -> jax.Array:
-        lr = prepare_lr_condition(image_256)
+        lr = prepare_lr_condition(image_256, self.lr_hw)
         batch = {
             "text_emb": text_emb,
             "style_emb": style_emb,
