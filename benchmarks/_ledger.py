@@ -1,0 +1,25 @@
+"""Shared on-chip evidence ledger: every bench script appends its headline
+result to benchmarks/results.jsonl (VERDICT r2 item 9) so numbers quoted in
+docs/PERF.md stay verifiable after the fact."""
+
+import json
+import os
+import time
+
+
+def record(metric: str, value: float, unit: str, **extra) -> None:
+    row = {"metric": metric, "value": round(float(value), 3), "unit": unit,
+           "ts": time.strftime("%Y-%m-%dT%H:%M:%S"), **extra}
+    try:
+        import jax
+
+        row.setdefault("device", str(jax.devices()[0]))
+    except Exception:
+        pass
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "results.jsonl")
+    try:
+        with open(path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout output is the contract

@@ -69,6 +69,10 @@ def bench_train(model, params, variant, batch):
         best = min(best, (time.perf_counter() - t0) / n * 1000)
     print(f"train {variant} batch={batch}: {best:.1f} ms/step, "
           f"{batch / best * 1000:.1f} img/s")
+    from _ledger import record
+
+    record(f"train_{variant}_ms_per_step", best, "ms",
+           batch=batch, img_per_s=round(batch / best * 1000, 1))
 
 
 def main():
@@ -139,7 +143,44 @@ def main():
     best = min(times)
     print(f"{variant} batch={batch} {sampler} steps={steps}: best "
           f"{best*1000:.1f} ms (median {np.median(times)*1000:.1f}), "
-          f"{batch/best:.2f} img/s")
+          f"{batch/best:.2f} img/s sequential")
+
+    # pipelined/serving mode (VERDICT r2 item 4): one batch in flight, d2h
+    # of batch i overlaps batch i+1's compute — same pattern as bench.py
+    n_pipe = 4
+    rates = []
+    for rep in range(4):
+        prev = None
+        t0 = time.perf_counter()
+        for i in range(n_pipe):
+            out = pipe.generate(params, eb,
+                                jax.random.fold_in(key, 100 * rep + i))
+            if prev is not None:
+                np.asarray(prev)
+            prev = out
+        np.asarray(prev)
+        rates.append(n_pipe * batch / (time.perf_counter() - t0))
+    pipelined = max(max(rates), batch / best)
+    print(f"{variant} pipelined throughput (best of {len(rates)} x {n_pipe} "
+          f"batches): {pipelined:.2f} img/s")
+
+    # roofline: analytic FLOPs from flop_count.py's exact module walk
+    try:
+        from flop_count import PEAK_TFS, VARIANTS, decoder_flops, unet_flops
+
+        v = VARIANTS[variant]
+        per_image = unet_flops(v) * steps + decoder_flops(v)
+        mfu = pipelined * per_image / (PEAK_TFS * 1e12)
+        print(f"{variant}: {per_image/1e12:.2f} TF/image -> MFU "
+              f"{mfu*100:.0f}% (speed-of-light "
+              f"{PEAK_TFS*1e12/per_image:.1f} img/s)")
+    except KeyError:
+        mfu = None
+    from _ledger import record
+
+    record(f"sample_{variant}_{sampler}{steps}", pipelined, "img/s",
+           batch=batch, sequential_best_ms=round(best * 1000, 1),
+           mfu=round(mfu, 3) if mfu else None)
 
 
 if __name__ == "__main__":

@@ -102,6 +102,10 @@ def main() -> None:
           f"{imgs_per_sec:.2f} img/s at dpm++-{steps}", file=sys.stderr)
     print({"sampler": "dpm++", "steps": steps, "batch": batch,
            "img_per_sec": round(imgs_per_sec, 2)})
+    from _ledger import record
+
+    record(f"sample_interp256_dpmpp{steps}", imgs_per_sec, "img/s",
+           batch=batch, sequential_best_ms=round(best * 1000, 1))
 
 
 if __name__ == "__main__":

@@ -125,6 +125,11 @@ def main() -> None:
         "p50_latency_s": s["p50_latency_s"],
         "p95_latency_s": s["p95_latency_s"],
     }))
+    from _ledger import record
+
+    record(f"serving_requests_per_sec_{tag}_{sampler}{steps}", n_req / dt,
+           "req/s", batch=batch, p50_latency_s=s["p50_latency_s"],
+           p95_latency_s=s["p95_latency_s"])
 
 
 if __name__ == "__main__":

@@ -9,6 +9,12 @@ in the forward; backwards are recompute custom VJPs, with the self-attention
 portion running the Pallas flash backward (ops/flash_attention.py).
 
 Usage: python benchmarks/bench_train.py [batch] [remat]
+       python benchmarks/bench_train.py --convergence [steps]
+
+--convergence (VERDICT r2 item 1b): a few hundred REAL steps of the full
+interp_256 geometry overfitting a fixed synthetic batch on-chip, recording
+the loss curve into results.jsonl — the framework-learns existence proof at
+production scale (the in-suite tiny-geometry proof is tests/test_overfit.py).
 """
 
 import os
@@ -31,8 +37,14 @@ def main():
     from upgpt_tpu.models.vae import AutoencoderConfig
     from upgpt_tpu.training.train_state import create_train_state, train_step
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 12
-    remat = bool(int(sys.argv[2])) if len(sys.argv) > 2 else False
+    convergence = "--convergence" in sys.argv
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if convergence:
+        n_steps = int(argv[0]) if argv else 300
+        batch, remat = 8, False
+    else:
+        batch = int(argv[0]) if argv else 12
+        remat = bool(int(argv[1])) if len(argv) > 1 else False
 
     on_tpu = jax.devices()[0].platform != "cpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
@@ -48,7 +60,8 @@ def main():
     params = jax.jit(model.init_params)(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
     frozen = {"vae": params.pop("vae")}
-    state = create_train_state(params, learning_rate=2e-6, use_ema=True)
+    state = create_train_state(
+        params, learning_rate=1e-4 if convergence else 2e-6, use_ema=True)
 
     rng = np.random.default_rng(0)
     h, w = cfg.latent_size
@@ -76,6 +89,31 @@ def main():
     print(f"compile+first: {time.perf_counter()-t0:.1f}s, loss {loss0:.4f}",
           file=sys.stderr)
 
+    if convergence:
+        # overfit the FIXED batch: t ~ U[0,1000) per step (rng folds with
+        # state.step), so windowed means are compared, not single draws
+        curve = [loss0]
+        t0 = time.perf_counter()
+        for i in range(1, n_steps):
+            state, metrics = step_fn(state)
+            if i % 10 == 0 or i == n_steps - 1:
+                curve.append(float(metrics["loss_simple"]))
+        dt = time.perf_counter() - t0
+        first = float(np.mean(curve[1:4]))
+        last = float(np.mean(curve[-3:]))
+        print(f"convergence: {n_steps} steps in {dt:.1f}s; loss_simple "
+              f"window means {first:.4f} -> {last:.4f} "
+              f"({'DECREASING' if last < 0.5 * first else 'NOT DECREASING'})")
+        print("curve (every 10 steps):",
+              " ".join(f"{v:.3f}" for v in curve))
+        from _ledger import record
+
+        record("train_interp256_convergence_loss_ratio", last / first,
+               "ratio", steps=n_steps, batch=batch, first=round(first, 4),
+               last=round(last, 4),
+               curve=[round(v, 4) for v in curve])
+        return
+
     best = float("inf")
     for _ in range(3):
         n = 10
@@ -86,6 +124,10 @@ def main():
         best = min(best, (time.perf_counter() - t0) / n * 1000)
     print(f"train batch={batch} remat={remat}: {best:.1f} ms/step, "
           f"{batch / best * 1000:.1f} img/s")
+    from _ledger import record
+
+    record("train_interp256_ms_per_step", best, "ms", batch=batch,
+           remat=remat, img_per_s=round(batch / best * 1000, 1))
 
 
 if __name__ == "__main__":
