@@ -180,10 +180,18 @@ def main() -> None:
     on_tpu = dev.platform != "cpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
+    # A/B knobs for kernel-variant experiments (default = production config)
+    _env = lambda k, d: bool(int(os.environ.get(k, str(int(d)))))
     cfg = LatentDiffusionConfig.interp_256(
         unet=UNetConfig.interp_256(
-            dtype=dtype, use_fused_groupnorm=on_tpu,
-            use_fused_transformer=on_tpu,
+            dtype=dtype,
+            # default OFF since round 3: the per-image GN custom calls force
+            # row-major layouts that XLA repacks around every conv (~0.9
+            # ms/step of copies); A/B on-chip measured 27.4 (on) vs 29.98
+            # (off) img/s. XLA's convert_reduce GN fuses into the consumers.
+            use_fused_groupnorm=_env("UPGPT_FUSED_GN", False),
+            use_fused_transformer=_env("UPGPT_FUSED_TR", on_tpu),
+            use_flash_attention=_env("UPGPT_FLASH", on_tpu),
         ),
         vae=AutoencoderConfig.kl_f8(dtype=dtype, use_flash_attention=on_tpu),
     )

@@ -99,7 +99,7 @@ def main():
     model.config = dataclasses.replace(
         model.config,
         unet=dataclasses.replace(
-            model.config.unet, use_fused_groupnorm=on_tpu,
+            model.config.unet,
             use_fused_transformer=on_tpu,
         ),
     )

@@ -44,7 +44,7 @@ def main() -> None:
 
     cfg = LatentDiffusionConfig.interp_256(
         unet=UNetConfig.interp_256(
-            dtype=dtype, use_fused_groupnorm=on_tpu,
+            dtype=dtype,  # fused GN off since r3 (layout copies; PERF.md)
             use_fused_transformer=on_tpu,
         ),
         vae=AutoencoderConfig.kl_f8(dtype=dtype, use_flash_attention=on_tpu),

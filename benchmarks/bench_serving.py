@@ -47,7 +47,7 @@ def main() -> None:
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     cfg = LatentDiffusionConfig.interp_256(
         unet=UNetConfig.interp_256(
-            dtype=dtype, use_fused_groupnorm=on_tpu,
+            dtype=dtype,  # fused GN off since r3 (layout copies; PERF.md)
             use_fused_transformer=on_tpu,
         ),
         vae=AutoencoderConfig.kl_f8(dtype=dtype, use_flash_attention=on_tpu),
@@ -62,7 +62,7 @@ def main() -> None:
 
         up_cfg = LatentDiffusionConfig.upscale_512(
             unet=UNetConfig.upscale_512(
-                dtype=dtype, use_fused_groupnorm=on_tpu,
+                dtype=dtype,  # fused GN off since r3 (layout copies; PERF.md)
                 use_fused_transformer=on_tpu,
             ),
             vae=AutoencoderConfig.kl_f4(

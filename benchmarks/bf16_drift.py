@@ -54,7 +54,7 @@ def main():
                 model.config,
                 unet=dataclasses.replace(
                     model.config.unet, use_fused_transformer=on_tpu,
-                    use_fused_groupnorm=on_tpu),
+                    use_fused_groupnorm=False),
             )
             model = LatentDiffusion(model.config)
         # SAME fp32 master weights both runs (bf16 run casts them once,

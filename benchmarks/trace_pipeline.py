@@ -74,7 +74,7 @@ def main():
 
     dtype = jnp.bfloat16
     cfg = LatentDiffusionConfig.interp_256(
-        unet=UNetConfig.interp_256(dtype=dtype, use_fused_groupnorm=True,
+        unet=UNetConfig.interp_256(dtype=dtype,
                                    use_fused_transformer=True),
         vae=AutoencoderConfig.kl_f8(dtype=dtype, use_flash_attention=True),
     )
