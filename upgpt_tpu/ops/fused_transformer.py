@@ -226,29 +226,41 @@ def _ln_tree(z, tree):
 
 def _basic_block_ref(h, blk, heads, context, kv, use_flash):
     """One BasicTransformerBlock (reference attention.py:196-215) in jnp."""
-    from upgpt_tpu.ops.attention import multi_head_attention
+    from upgpt_tpu.ops.attention import attention_weight_split
+    from upgpt_tpu.ops.flash_attention import flash_attention_qualifies
 
     comp = h.dtype
+    b, tq, c = h.shape
+    d = c // heads
     z = _ln_tree(h, blk["norm1"])
     a1 = blk["attn1"]
-    h = h + _dense(
-        multi_head_attention(
-            _dense(z, a1["to_q"], bias=False),
-            _dense(z, a1["to_k"], bias=False),
-            _dense(z, a1["to_v"], bias=False),
-            heads, use_flash=use_flash,
-        ), a1["to_out"])
+    if use_flash and flash_attention_qualifies(b, heads, tq, tq, d, comp):
+        # project per-head straight from the weights so q/k/v are BORN
+        # (B, H, T, D) — the pack->reshape->transpose chain around the
+        # flash call repacked ~44 MB per tensor at the 512px T=3072 blocks
+        from upgpt_tpu.ops.flash_attention import flash_attention
+
+        def headed(w):
+            kern = w["kernel"].astype(comp)
+            return jnp.einsum("btc,chd->bhtd", z,
+                              kern.reshape(kern.shape[0], heads, d))
+
+        o = flash_attention(headed(a1["to_q"]), headed(a1["to_k"]),
+                            headed(a1["to_v"]))
+        wo = a1["to_out"]["kernel"].astype(comp)
+        h = h + (jnp.einsum("bhtd,hdc->btc", o,
+                            wo.reshape(heads, d, wo.shape[-1]))
+                 + a1["to_out"]["bias"].astype(comp))
+    else:
+        # XLA path: head split on the weights, so the (B, T, H*D)
+        # activations are never physically repacked (docs/PERF.md round 3:
+        # the 896ch ds4/mid levels spent ~0.4 ms/step on those copies)
+        h = h + attention_weight_split(z, None, a1, heads)
     z = _ln_tree(h, blk["norm2"])
     a2 = blk["attn2"]
-    if kv is not None:
-        k, v = kv
-    else:
-        src = z if context is None else context.astype(comp)
-        k = _dense(src, a2["to_k"], bias=False)
-        v = _dense(src, a2["to_v"], bias=False)
-    h = h + _dense(
-        multi_head_attention(_dense(z, a2["to_q"], bias=False), k, v, heads),
-        a2["to_out"])
+    src = z if context is None else context.astype(comp)
+    h = h + attention_weight_split(z, src if kv is None else None, a2,
+                                   heads, kv=kv)
     z = _ln_tree(h, blk["norm3"])
     g = _dense(z, blk["ff"]["proj_in"])
     xh, gate = jnp.split(g, 2, axis=-1)
