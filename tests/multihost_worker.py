@@ -18,6 +18,7 @@ import sys
 
 def main() -> None:
     port, pid, out_path = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    mode = sys.argv[4] if len(sys.argv) > 4 else "train"
     here = os.path.dirname(os.path.abspath(__file__))
     sys.path.insert(0, os.path.dirname(here))  # repo root -> upgpt_tpu
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -100,10 +101,35 @@ def main() -> None:
         for leaf in jax.tree.leaves(new_state.params)
     ))
     primary = multihost.is_primary()
+
+    png = None
+    if mode == "log_images":
+        # the ImageLogger path is a COLLECTIVE (trainer.log_images docstring):
+        # every process executes the sampler jit + the replicate-reshard;
+        # only process 0 writes PNGs. A deadlock here would hang the pod at
+        # the first image-log step in production.
+        from upgpt_tpu.inference.encoders import DebugConditioningEncoder
+        from upgpt_tpu.training.trainer import Trainer, TrainerConfig
+
+        logdir = os.path.join(os.path.dirname(out_path), f"imglog_w{pid}")
+        trainer = Trainer(
+            model,
+            TrainerConfig(logdir=logdir, log_images_every=None,
+                          image_log_ddim_steps=2, use_ema=True),
+            DebugConditioningEncoder(context_dim=64, text_len=7),
+            mesh=mesh,
+        )
+        # log_images shards host-local arrays itself (process_count > 1)
+        img_batch = {k: v for k, v in local.items()}
+        trainer.log_images(new_state, frozen_r, img_batch, step=1)
+        expected = os.path.join(logdir, "images", "samples_00000001.png")
+        png = expected if os.path.exists(expected) else None
+
     multihost.barrier("test_multihost_done")
     with open(out_path, "w") as f:
         json.dump({"pid": pid, "loss": loss, "checksum": checksum,
-                   "primary": primary, "step": int(new_state.step)}, f)
+                   "primary": primary, "step": int(new_state.step),
+                   "png": png}, f)
 
 
 if __name__ == "__main__":
