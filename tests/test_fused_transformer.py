@@ -202,3 +202,63 @@ def test_fused_gradients_with_flash_attention():
     for a, b_ in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_t)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=5e-4, rtol=1e-3)
+
+
+def test_spp_batched_program_matches_twin():
+    """samples-per-program > 1: the merged-token kernel must be sample-
+    independent — identical to the twin AND to the spp=1 kernel."""
+    import upgpt_tpu.ops.fused_transformer as ft
+
+    rng = np.random.default_rng(3)
+    b = 4
+    x = jnp.asarray(rng.normal(size=(b, H * W, C)), jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(b, TK, C)), jnp.float32)
+    mod = SpatialTransformer(C, HEADS, C // HEADS, context_dim=C)
+    params = mod.init(jax.random.PRNGKey(0),
+                      x.reshape(b, H, W, C), ctx)["params"]
+    params = jax.tree.map(
+        lambda a: jnp.asarray(rng.normal(size=a.shape) * 0.05, a.dtype),
+        params)
+    want = transformer_block_reference(x, _tree(params), HEADS, ctx)
+    outs = {}
+    for spp in (1, 2, 4):
+        ft._SPP_OVERRIDE = spp
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                outs[spp] = np.asarray(fused_transformer_block(
+                    x, _tree(params), HEADS, ctx))
+        finally:
+            ft._SPP_OVERRIDE = None
+        np.testing.assert_allclose(outs[spp], np.asarray(want),
+                                   atol=2e-5, rtol=1e-4)
+    # sample order preserved: block si of the spp=4 program == spp=1 rows
+    np.testing.assert_allclose(outs[4], outs[1], atol=1e-6)
+
+
+def test_exp2_softmax_matches_exp():
+    """exp2 softmax with log2(e) folded into q == exp softmax (real math
+    identity; float drift must stay within bf16-irrelevant bounds)."""
+    import upgpt_tpu.ops.fused_transformer as ft
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(B, H * W, C)), jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(B, TK, C)), jnp.float32)
+    mod = SpatialTransformer(C, HEADS, C // HEADS, context_dim=C)
+    params = mod.init(jax.random.PRNGKey(0),
+                      x.reshape(B, H, W, C), ctx)["params"]
+    params = jax.tree.map(
+        lambda a: jnp.asarray(rng.normal(size=a.shape) * 0.05, a.dtype),
+        params)
+    prev = ft._SOFTMAX_EXP2
+    try:
+        ft._SOFTMAX_EXP2 = True
+        with pltpu.force_tpu_interpret_mode():
+            got2 = np.asarray(fused_transformer_block(
+                x, _tree(params), HEADS, ctx))
+        ft._SOFTMAX_EXP2 = False
+        with pltpu.force_tpu_interpret_mode():
+            got1 = np.asarray(fused_transformer_block(
+                x, _tree(params), HEADS, ctx))
+    finally:
+        ft._SOFTMAX_EXP2 = prev
+    np.testing.assert_allclose(got2, got1, atol=3e-6, rtol=1e-5)

@@ -309,3 +309,26 @@ def test_wandb_absent_degrades_gracefully(tmp_path, loaders, monkeypatch):
     assert trainer._wandb is None
     state = trainer.fit(train, val)
     assert int(state.step) > 0
+
+
+def test_save_grid_streams_to_tensorboard(tmp_path):
+    """_save_grid writes the PNG AND pushes the same grid into the TB
+    event stream (reference ImageLogger logs to disk + TestTube logger,
+    main.py:302-450)."""
+    tb_dir = tmp_path / "tb"
+    tb_dir.mkdir()
+    t = Trainer.__new__(Trainer)  # grid/TB plumbing only, no model needed
+    try:
+        from flax.metrics.tensorboard import SummaryWriter
+
+        t._tb = SummaryWriter(str(tb_dir))
+    except Exception:
+        pytest.skip("tensorboard not available")
+    imgs = np.linspace(-1, 1, 2 * 8 * 8 * 3, dtype=np.float32).reshape(
+        2, 8, 8, 3)
+    png = tmp_path / "grid.png"
+    t._save_grid(imgs, png, tag="samples", step=7)
+    t._tb.flush()
+    assert png.exists()
+    events = list(tb_dir.glob("events.out.tfevents.*"))
+    assert events and events[0].stat().st_size > 100  # image payload landed

@@ -29,6 +29,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128
+# exp2 softmax: log2(e) folded into the score scale so the VPU runs exp2
+# directly (exp lowers to exp2 + one extra multiply pass over the (Bq, T)
+# score block). 2^(x*log2e) == e^x, so softmax values are unchanged.
+_LOG2E = math.log2(math.e)
 _MAX_RESIDENT_T = 4096  # K/V stay VMEM-resident; beyond this, fall back to XLA.
 
 
@@ -59,9 +63,9 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (Bq, T)
-    scores = scores * scale
+    scores = scores * (scale * _LOG2E)
     m = jnp.max(scores, axis=-1, keepdims=True)
-    p = jnp.exp(scores - m)
+    p = jnp.exp2(scores - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
     # deferred normalization: divide the (Bq, D) output, not the (Bq, T)
     # probabilities — one VPU pass T/D x smaller
@@ -113,9 +117,9 @@ def _attn_bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref,
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=f32,
-    ) * scale  # (Bq, T)
+    ) * (scale * _LOG2E)  # (Bq, T), log2-space scores
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
+    p = jnp.exp2(s - m)  # == e^(s_nat - m_nat): values identical
     denom = jnp.sum(p, axis=-1, keepdims=True)
     recip = 1.0 / denom
     di = jnp.sum(do.astype(f32) * o.astype(f32), axis=-1, keepdims=True)
@@ -130,8 +134,10 @@ def _attn_bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref,
     ) * scale
     dq_ref[0] = dq.astype(dq_ref.dtype)
     # stats rows live as (bh, 1, t) so the (1, 1, block) block shape meets
-    # Mosaic's (sublane % 8 or full-dim, lane % 128) block constraint
-    l_ref[0, 0] = jnp.squeeze(m + jnp.log(denom), -1)
+    # Mosaic's (sublane % 8 or full-dim, lane % 128) block constraint.
+    # LSE is in LOG2 space (m is a log2-score max): pass 2 rebuilds the
+    # normalized probabilities as exp2(st2 - L2).
+    l_ref[0, 0] = jnp.squeeze(m + jnp.log2(denom), -1)
     di_ref[0, 0] = jnp.squeeze(di, -1)
 
 
@@ -150,8 +156,8 @@ def _attn_bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, l_ref, di_ref,
     st = jax.lax.dot_general(
         k, q, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=f32,
-    ) * scale  # (Bk, Tq)
-    pn_t = jnp.exp(st - l_row)
+    ) * (scale * _LOG2E)  # (Bk, Tq), log2-space (matches pass 1's L2 stat)
+    pn_t = jnp.exp2(st - l_row)
     dv = jax.lax.dot_general(
         pn_t.astype(do.dtype), do,
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -267,9 +273,9 @@ def _attn_kernel_headloop(q_ref, k_ref, v_ref, o_ref, *, scale: float,
             q, k,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale
+        ) * (scale * _LOG2E)
         m = jnp.max(scores, axis=-1, keepdims=True)
-        p = jnp.exp(scores - m)
+        p = jnp.exp2(scores - m)
         denom = jnp.sum(p, axis=-1, keepdims=True)
         o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
         o_ref[0, hh] = (o / denom).astype(o_ref.dtype)

@@ -52,6 +52,22 @@ from jax.experimental.pallas import tpu as pltpu
 # projection the gate now counts) qualify with margin.
 _VMEM_BUDGET = 17 * 1024 * 1024
 
+# exp2 softmax: fold log2(e) into the q scale so the VPU runs exp2 instead
+# of exp. Mathematically identical softmax, and exp lowers to exp2 + a
+# multiply — but MEASURED SLOWER on v5e at the dominant ds1 geometry
+# (benchmarks/micro_fused_variants.py: 1.124 vs 0.186 ms/op marginal at
+# spp=1; docs/PERF.md "samples-per-program / exp2" section). Default OFF;
+# module-level so the micro harness can A/B it in one process.
+_SOFTMAX_EXP2 = False
+
+# Samples per kernel program: >1 merges the weight-shared matmuls (proj_in,
+# qkv, attn-out, FF, proj_out) across samples — M grows S-fold — and cuts
+# grid-program count. MEASURED SLOWER at ds1 (spp=2: 1.498 vs 0.186 ms/op;
+# spp=4 needs >16MB scoped VMEM and still loses): the per-sample work
+# already saturates the MXU at T=768, and the fatter program spills VMEM.
+# Default 1 (None = auto, which picks 1); override for experimentation.
+_SPP_OVERRIDE: Optional[int] = None
+
 
 # ---------------------------------------------------------------- helpers
 
@@ -104,6 +120,9 @@ def _gelu_kernel(z):
 # ---------------------------------------------------------------- kernel
 
 
+_LOG2E = float(np.log2(math.e))
+
+
 def _block_kernel(
     x_ref, m_ref,
     gn_s, gn_b, wpi, bpi,
@@ -113,7 +132,7 @@ def _block_kernel(
     wpo, bpo,
     *rest,
     heads: int, scale: float, gn_eps: float, cnt: float,
-    kv_precomputed: bool, ff_tile: int,
+    kv_precomputed: bool, ff_tile: int, exp2: bool,
 ):
     if kv_precomputed:
         (o_ref,) = rest
@@ -121,24 +140,30 @@ def _block_kernel(
     else:
         wk2_ref, wv2_ref, o_ref = rest
     comp = x_ref.dtype
-    x = x_ref[0]  # (T, C) in compute dtype; residual stream stays in comp
-    t, c = x.shape
+    xs = x_ref[...]  # (S, T, C) in compute dtype; residual stream stays comp
+    s_n, t, c = xs.shape
+    tm = s_n * t  # merged token-stream length
+    x = xs.reshape(tm, c)
 
     def mm(a, w):
         return jnp.dot(a.astype(comp), w.astype(comp),
                        preferred_element_type=jnp.float32)
 
-    # --- GroupNorm32 (eps 1e-6): matmul group stats, fp32 ---
+    # --- GroupNorm32 (eps 1e-6): matmul group stats, fp32, PER SAMPLE ---
     m = m_ref[...]
-    xf = x.astype(jnp.float32)
-    s1 = jnp.dot(jnp.sum(xf, axis=0, keepdims=True), m,
-                 preferred_element_type=jnp.float32) / cnt
-    s2 = jnp.dot(jnp.sum(xf * xf, axis=0, keepdims=True), m,
-                 preferred_element_type=jnp.float32) / cnt
-    inv = jax.lax.rsqrt(jnp.maximum(s2 - s1 * s1, 0.0) + gn_eps)
-    mean_c = jnp.dot(s1, m.T, preferred_element_type=jnp.float32)
-    inv_c = jnp.dot(inv, m.T, preferred_element_type=jnp.float32)
-    gn = ((xf - mean_c) * inv_c * gn_s[...] + gn_b[...]).astype(comp)
+    gn_rows = []
+    for si in range(s_n):
+        xf = x[si * t:(si + 1) * t].astype(jnp.float32)
+        s1 = jnp.dot(jnp.sum(xf, axis=0, keepdims=True), m,
+                     preferred_element_type=jnp.float32) / cnt
+        s2 = jnp.dot(jnp.sum(xf * xf, axis=0, keepdims=True), m,
+                     preferred_element_type=jnp.float32) / cnt
+        inv = jax.lax.rsqrt(jnp.maximum(s2 - s1 * s1, 0.0) + gn_eps)
+        mean_c = jnp.dot(s1, m.T, preferred_element_type=jnp.float32)
+        inv_c = jnp.dot(inv, m.T, preferred_element_type=jnp.float32)
+        gn_rows.append(
+            ((xf - mean_c) * inv_c * gn_s[...] + gn_b[...]).astype(comp))
+    gn = jnp.concatenate(gn_rows, axis=0) if s_n > 1 else gn_rows[0]
 
     def ln_c(z, s_, b_):
         # fp32 LayerNorm island, result back in compute dtype (same as the
@@ -146,8 +171,13 @@ def _block_kernel(
         return _ln_f32(z.astype(jnp.float32), s_[...], b_[...]).astype(comp)
 
     dh = c // heads
+    # exp2 softmax: log2(e) pre-folded into the q scale; 2^(s*log2e) ==
+    # e^s, so the softmax is unchanged in real arithmetic and the VPU
+    # skips exp's per-element multiply on the (T, Tk) score blocks.
+    q_scale = scale * _LOG2E if exp2 else scale
+    ex = jnp.exp2 if exp2 else jnp.exp
 
-    def attention(q_all, k_all, v_all, wo_full, bo_r, base):
+    def attend_one(q_all, k_all, v_all):
         # q/k/v packed (T|Tk, C); per-head score/value contractions on lane
         # slices — the only matmuls whose MXU occupancy head_dim caps.
         outs = []
@@ -158,44 +188,57 @@ def _block_kernel(
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            p = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+            p = ex(s - jnp.max(s, axis=-1, keepdims=True))
             # deferred normalization: divide the (T, Dh) output instead of
             # the (T, Tk) probabilities — one VPU pass Tk/Dh x smaller
             o = jnp.dot(p.astype(comp), v_all[:, lo:lo + dh],
                         preferred_element_type=jnp.float32)
             outs.append(o * pl.reciprocal(
                 jnp.sum(p, axis=-1, keepdims=True)))
-        o = jnp.concatenate(outs, axis=-1).astype(comp)
+        return jnp.concatenate(outs, axis=-1).astype(comp)
+
+    def attention(q_m, k_per, v_per, wo_full, bo_r, base):
+        # q merged (S*T, C); k/v as per-sample (Tk, C) lookups
+        rows = [attend_one(q_m[si * t:(si + 1) * t], k_per(si), v_per(si))
+                for si in range(s_n)]
+        o = jnp.concatenate(rows, axis=0) if s_n > 1 else rows[0]
         acc = mm(o, wo_full[...]) + bo_r[...] + base.astype(jnp.float32)
         return acc.astype(comp)
 
-    # --- proj_in ---
+    # --- proj_in (merged across samples: weight-shared matmul) ---
     h = (mm(gn, wpi[...]) + bpi[...]).astype(comp)
 
     # --- self-attention (q/k/v via ONE (C, 3C) matmul; 1/sqrt(d) folded
     # into q: one (T, C) fp32 mul instead of H (T, Tk) muls) ---
     a = ln_c(h, ln1_s, ln1_b)
     qkv = mm(a, wq[...])  # wq carries packed [Wq|Wk|Wv], (C, 3C)
-    h = attention((qkv[:, :c] * scale).astype(comp),
-                  qkv[:, c:2 * c].astype(comp),
-                  qkv[:, 2 * c:].astype(comp), wo, bo, h)
+    q_m = (qkv[:, :c] * q_scale).astype(comp)
+    k_m = qkv[:, c:2 * c].astype(comp)
+    v_m = qkv[:, 2 * c:].astype(comp)
+    h = attention(q_m,
+                  lambda si: k_m[si * t:(si + 1) * t],
+                  lambda si: v_m[si * t:(si + 1) * t], wo, bo, h)
 
     # --- cross-attention ---
     a = ln_c(h, ln2_s, ln2_b)
     if kv_precomputed:
-        k_all, v_all = ck_ref[0], cv_ref[0]
+        k_per = lambda si: ck_ref[si]
+        v_per = lambda si: cv_ref[si]
     else:
-        ctx = ck_ref[0]
-        k_all = mm(ctx, wk2_ref[...]).astype(comp)
-        v_all = mm(ctx, wv2_ref[...]).astype(comp)
-    h = attention((mm(a, wq2[...]) * scale).astype(comp),
-                  k_all, v_all, wo2, bo2, h)
+        tk, cd = ck_ref.shape[1], ck_ref.shape[2]
+        ctx_m = ck_ref[...].reshape(s_n * tk, cd)
+        k_m2 = mm(ctx_m, wk2_ref[...]).astype(comp)
+        v_m2 = mm(ctx_m, wv2_ref[...]).astype(comp)
+        k_per = lambda si: k_m2[si * tk:(si + 1) * tk]
+        v_per = lambda si: v_m2[si * tk:(si + 1) * tk]
+    h = attention((mm(a, wq2[...]) * q_scale).astype(comp),
+                  k_per, v_per, wo2, bo2, h)
 
     # --- GEGLU FF (T-tiled only when the (T, 8C) intermediate is large) ---
     a = ln_c(h, ln3_s, ln3_b)
     inner = w1.shape[-1] // 2
     rows = []
-    for i in range(t // ff_tile):
+    for i in range(tm // ff_tile):
         g = mm(a[i * ff_tile:(i + 1) * ff_tile], w1[...]) + b1[...]
         xh, gate = g[:, :inner], g[:, inner:]
         rows.append(mm((xh * _gelu_kernel(gate)).astype(comp), w2[...]))
@@ -203,8 +246,9 @@ def _block_kernel(
     h = (h.astype(jnp.float32) + ff + b2[...]).astype(comp)
 
     # --- zero-init proj_out + outer residual ---
-    o_ref[0] = (mm(h, wpo[...]) + bpo[...]
-                + x.astype(jnp.float32)).astype(o_ref.dtype)
+    o_ref[...] = (mm(h, wpo[...]) + bpo[...]
+                  + x.astype(jnp.float32)).astype(o_ref.dtype).reshape(
+                      s_n, t, c)
 
 
 # ---------------------------------------------------------------- jnp twin
@@ -314,6 +358,33 @@ def _ff_tile(t: int, c: int) -> int:
     return next(d for d in range(256, 0, -1) if t % d == 0)
 
 
+def _vmem_estimate(t: int, c: int, tk: int, spp: int,
+                   kv_precomputed: bool, ctx_dim: Optional[int]) -> int:
+    """Mirror of the qualify gate's budget arithmetic, parameterized by
+    samples-per-program: weights once, per-sample work x spp, FF tile on
+    the merged row stream."""
+    weights = (6 * c * c + 2 * 8 * c * c + c * c) * 2  # qkv/o x2 + ff + proj
+    per_sample = 5 * t * c * 4 + t * t * 4 + 3 * tk * c * 4
+    work = spp * per_sample + _ff_tile(spp * t, c) * 8 * c * 4
+    if not kv_precomputed:
+        cd = ctx_dim or c
+        weights += 2 * cd * c * 2  # wk2/wv2, bf16
+        work += spp * tk * cd * 4  # raw context blocks
+    return weights + work
+
+
+def _pick_spp(b: int, t: int, c: int, tk: int, kv_precomputed: bool,
+              ctx_dim: Optional[int]) -> int:
+    """Default samples-per-program. On-chip A/B (micro_fused_variants.py,
+    v5e, ds1 T=768 C=224 batch 32): spp=2 ran 1.498 ms/op vs spp=1's
+    0.186 — the merged program spills VMEM and the per-sample matmuls
+    already saturate the MXU at this M. Auto therefore always picks 1;
+    the spp>1 machinery stays for _SPP_OVERRIDE experiments (it is
+    numerically identical, see test_spp_batched_program_matches_twin)."""
+    del b, t, c, tk, kv_precomputed, ctx_dim
+    return 1
+
+
 def fused_transformer_qualifies(t: int, c: int, heads: int, tk: int,
                                 depth: int = 1,
                                 kv_precomputed: bool = True,
@@ -394,10 +465,23 @@ def _fused_forward(x_tokens, p, heads, context, kv, gn_eps):
         cv_in = jnp.zeros((b, 8, 8), comp)  # unused placeholder
         extra_inputs = [w(a2["to_k"]), w(a2["to_v"])]
 
+    ctx_dim = None if context is None else context.shape[-1]
+    spp = _SPP_OVERRIDE or _pick_spp(b, t, c, tk, kv_pre, ctx_dim)
+    # Mosaic's default scoped-VMEM limit is 16 MB; a multi-sample program
+    # legitimately needs more (measured 24.3 MB at the training ds1
+    # geometry, spp=2). Raise the per-kernel cap from the estimate with
+    # the empirically observed 1.4x estimate->actual factor plus margin —
+    # v5e has 128 MB physical VMEM, so 32-48 MB scoped is safe.
+    vmem_limit = min(
+        100 * 1024 * 1024,
+        max(16 * 1024 * 1024,
+            int(_vmem_estimate(t, c, tk, spp, kv_pre, ctx_dim) * 1.7)
+            + 2 * 1024 * 1024))
+
     rep = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                      memory_space=pltpu.VMEM)
     per_b = lambda shape: pl.BlockSpec(
-        (1,) + shape, lambda i: (i,) + (0,) * len(shape),
+        (spp,) + shape, lambda i: (i,) + (0,) * len(shape),
         memory_space=pltpu.VMEM)
     if not kv_pre:
         extra_specs = [rep(tuple(a.shape)) for a in extra_inputs]
@@ -438,19 +522,20 @@ def _fused_forward(x_tokens, p, heads, context, kv, gn_eps):
         rep((c, c)), rep((1, c)),
     ] + extra_specs
 
-    # tile FF only when the f32 intermediate would exceed ~6 MB
-    ff_tile = _ff_tile(t, c)
+    # tile FF over the MERGED (spp*T) row stream; tiled only when the f32
+    # (rows, 8C) intermediate would exceed ~6 MB
+    ff_tile = _ff_tile(spp * t, c)
     kernel = functools.partial(
         _block_kernel, heads=heads, scale=1.0 / math.sqrt(dh),
         gn_eps=gn_eps, cnt=float(t * (c // 32)), kv_precomputed=kv_pre,
-        ff_tile=ff_tile,
+        ff_tile=ff_tile, exp2=_SOFTMAX_EXP2,
     )
     flops = (4 * b * heads * t * (t + tk) * dh
              + 2 * b * t * c * (2 * c + 12 * c))
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, t, c), comp),
-        grid=(b,),
+        grid=(b // spp,),
         in_specs=in_specs,
         out_specs=per_b((t, c)),
         cost_estimate=pl.CostEstimate(
@@ -458,4 +543,5 @@ def _fused_forward(x_tokens, p, heads, context, kv, gn_eps):
             bytes_accessed=2 * b * t * c * x_tokens.dtype.itemsize,
             transcendentals=b * heads * t * (t + tk) + 4 * b * t * c,
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
     )(*inputs)

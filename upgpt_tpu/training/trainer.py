@@ -459,12 +459,14 @@ class Trainer:
         imgs = np.asarray(jax.device_get(imgs))
         if not self._primary:
             return
-        self._save_grid(imgs, self.logdir / "images" / f"samples_{step:08d}.png")
+        self._save_grid(imgs, self.logdir / "images" / f"samples_{step:08d}.png",
+                        tag="samples", step=step)
         for key in ("src_image", "smpl_image"):
             if key in strips:
                 self._save_grid(
                     strips[key],
                     self.logdir / "images" / f"{key}_{step:08d}.png",
+                    tag=key, step=step,
                 )
         if "styles" in strips:
             # denormalized per-slot style strips (save_styles, main.py:355-388)
@@ -476,11 +478,15 @@ class Trainer:
             )
             strip = np.clip(strip * CLIP_STD + CLIP_MEAN, 0, 1) * 2.0 - 1.0
             self._save_grid(
-                strip, self.logdir / "images" / f"styles_{step:08d}.png", nrow=1
+                strip, self.logdir / "images" / f"styles_{step:08d}.png",
+                nrow=1, tag="styles", step=step,
             )
 
-    @staticmethod
-    def _save_grid(imgs: np.ndarray, path: Path, nrow: int = 4) -> None:
+    def _save_grid(self, imgs: np.ndarray, path: Path, nrow: int = 4,
+                   tag: str = None, step: int = None) -> None:
+        """PNG grid to logdir/images, plus the same grid into the
+        TensorBoard event stream (the reference ImageLogger writes its
+        grids to both disk AND the TestTube logger, main.py:302-450)."""
         from PIL import Image
 
         imgs = np.clip((imgs + 1.0) / 2.0, 0, 1)
@@ -490,7 +496,14 @@ class Trainer:
         for i in range(n):
             r, col = divmod(i, nrow)
             grid[r * h:(r + 1) * h, col * w:(col + 1) * w] = imgs[i]
-        Image.fromarray((grid * 255).astype(np.uint8)).save(path)
+        grid8 = (grid * 255).astype(np.uint8)
+        Image.fromarray(grid8).save(path)
+        if self._tb is not None and tag is not None:
+            try:
+                self._tb.image(f"images/{tag}", grid8, step=step)
+                self._tb.flush()
+            except Exception:
+                pass  # image stream is best-effort; PNGs are the artifact
 
     # ------------- the loop -------------
 
