@@ -36,6 +36,7 @@ from upgpt_tpu.data.transforms import (
     empty_style,
     mask_transform_binary,
     mask_transform_smpl,
+    open_rgb,
     pad_image,
     resize_nearest,
     silhouette_bbox,
@@ -182,7 +183,7 @@ class DeepFashionPair:
             for name in STYLE_NAMES:
                 p = base / f"{name}.jpg"
                 if p.exists() and not drop_style:
-                    out.append(to_uint8(Image.open(p)))
+                    out.append(to_uint8(open_rgb(p)))
                 else:
                     # empty slot = normalize(black) in the f32 pipeline
                     out.append(np.zeros((224, 224, 3), np.uint8))
@@ -190,7 +191,7 @@ class DeepFashionPair:
         for name in STYLE_NAMES:
             p = base / f"{name}.jpg"
             if p.exists() and not drop_style:
-                out.append(clip_normalize_image(Image.open(p)))
+                out.append(clip_normalize_image(open_rgb(p)))
             else:
                 out.append(empty_style())
         return np.stack(out)
@@ -222,7 +223,7 @@ class DeepFashionPair:
             row = self.rows[index]
             target = self.map[row["to"]]
             data: Dict = {
-                "image": self._prep_image(Image.open(self.image_root / target["image"])),
+                "image": self._prep_image(open_rgb(self.image_root / target["image"])),
                 "txt": self.texts.get(target["text"], ""),
             }
             if self.image_only:
@@ -237,12 +238,12 @@ class DeepFashionPair:
 
             data.update(
                 fname=get_name(row["from"], row["to"]),
-                src_image=self._prep_image(Image.open(self.image_root / source["image"])),
+                src_image=self._prep_image(open_rgb(self.image_root / source["image"])),
                 styles=self._load_styles(styles_rel, drop_style),
             )
 
             pose_path = str(self.pose_root / target["pose"])
-            smpl_img = center_crop(Image.open(pose_path + ".jpg"), (256, 192))
+            smpl_img = center_crop(open_rgb(pose_path + ".jpg"), (256, 192))
             data["person_mask"] = self._person_mask(pose_path, smpl_img)
             if self.compact:
                 from upgpt_tpu.data.transforms import to_uint8
@@ -281,13 +282,13 @@ class DeepFashionSample(DeepFashionPair):
     def _solo(self, row):
         source = self.map[row["from"]]
         data = {
-            "image": self._prep_image(Image.open(self.image_root / source["image"])),
+            "image": self._prep_image(open_rgb(self.image_root / source["image"])),
             "txt": self.texts.get(source["text"], ""),
-            "src_image": self._prep_image(Image.open(self.image_root / source["image"])),
+            "src_image": self._prep_image(open_rgb(self.image_root / source["image"])),
             "styles": self._load_styles(source.get("styles") or "", False),
         }
         pose_path = str(self.pose_root / source["pose"])
-        smpl_img = center_crop(Image.open(pose_path + ".jpg"), (256, 192))
+        smpl_img = center_crop(open_rgb(pose_path + ".jpg"), (256, 192))
         data["person_mask"] = self._person_mask(pose_path, smpl_img)
         if self.compact:
             from upgpt_tpu.data.transforms import to_uint8
@@ -318,11 +319,11 @@ class DeepFashionSuperRes(DeepFashionPair):
             source = self.map[row["from"]]
             drop_style = (bool(self.dropout)
                           and self._item_rng(index).random() < self.dropout)
-            lr = self._lr(Image.open(self.lr_root / source["image"]))
+            lr = self._lr(open_rgb(self.lr_root / source["image"]))
             return {
                 "lr": lr,
                 "person_mask": lr,  # c_concat slot carries the lr image
-                "image": self._prep_image(Image.open(self.image_root / source["image"])),
+                "image": self._prep_image(open_rgb(self.image_root / source["image"])),
                 "styles": self._load_styles(source.get("styles") or "", drop_style),
                 "txt": self.texts.get(source["text"], ""),
             }
@@ -350,12 +351,12 @@ class DeepFashionSuperResSampling(DeepFashionSuperRes):
             row = self.rows[index]
             source = self.map[row["from"]]
             fname = get_name(row["from"], row["to"])
-            lr = self._lr(Image.open(str(self.lr_root / fname) + ".jpg"))
+            lr = self._lr(open_rgb(str(self.lr_root / fname) + ".jpg"))
             return {
                 "fname": fname,
                 "lr": lr,
                 "person_mask": lr,
-                "image": self._prep_image(Image.open(self.image_root / source["image"])),
+                "image": self._prep_image(open_rgb(self.image_root / source["image"])),
                 "styles": self._load_styles(source.get("styles") or "", False),
                 "txt": self.texts.get(source["text"], ""),
             }

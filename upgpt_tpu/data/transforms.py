@@ -23,6 +23,22 @@ CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
 CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 
+def open_rgb(path) -> Image.Image:
+    """Open an image file for the pipeline; JPEGs go through the native
+    GIL-free decoder when it is available (upgpt_tpu.native, bit-exact
+    with PIL — same libjpeg), anything else (or any decode hiccup) falls
+    back to PIL. Thread-pool loaders parallelize for real through this
+    path because the foreign decode call releases the GIL."""
+    p = str(path)
+    if p.lower().endswith((".jpg", ".jpeg")):
+        from upgpt_tpu import native
+        if native.available():
+            arr = native.decode_jpeg_file(p)
+            if arr is not None:
+                return Image.fromarray(arr)
+    return Image.open(path)
+
+
 def to_float01(img: Image.Image) -> np.ndarray:
     """PIL -> HWC float32 in [0, 1] (torchvision ToTensor semantics)."""
     arr = np.asarray(img.convert("RGB"), np.float32) / 255.0
