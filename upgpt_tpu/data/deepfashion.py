@@ -452,12 +452,17 @@ class PrefetchDataLoader(DataLoader):
     """Parallel-decode, prefetching loader: the worker-process DataLoader
     equivalent (reference main.py:208-250, num_workers = 2*bs).
 
-    Items of a batch decode concurrently on a thread pool (PIL/numpy decode
-    releases the GIL), a producer thread assembles collated batches, and a
-    bounded queue keeps `prefetch_batches` ready ahead of the consumer — so
-    host-side decode overlaps the device step instead of serializing with
-    it. Determinism: identical per-epoch permutation (and therefore
-    identical batches) to the sequential DataLoader.
+    Items of a batch decode concurrently on a thread pool, a producer
+    thread assembles collated batches, and a bounded queue keeps
+    `prefetch_batches` ready ahead of the consumer — so host-side decode
+    overlaps the device step instead of serializing with it. JPEG decode
+    goes through the native C++ core (upgpt_tpu/native) whose ctypes call
+    releases the GIL for the whole decode, so the pool parallelizes across
+    real cores; with the PIL fallback (no g++/libjpeg) decode holds the
+    GIL and the pool degrades to roughly serial rate — select
+    data.loader: "process" there. Determinism: identical per-epoch
+    permutation (and therefore identical batches) to the sequential
+    DataLoader.
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
@@ -542,10 +547,12 @@ class ProcessDataLoader(DataLoader):
     """True worker-PROCESS loader — the reference DataLoader's
     `num_workers = 2*bs` semantics (main.py:208-250), GIL-free.
 
-    The thread-pool PrefetchDataLoader tops out near the serial decode rate
-    on this workload (PIL/numpy hold the GIL through most of the
+    With PIL decode the thread-pool PrefetchDataLoader tops out near the
+    serial decode rate (PIL/numpy hold the GIL through most of the
     DeepFashion item assembly: measured 274 ms/batch threaded vs 225
-    serial at bs 12). Worker processes decode truly in parallel; the pool
+    serial at bs 12); the native C++ decode core (upgpt_tpu/native) fixes
+    that for JPEGs, but non-JPEG-heavy or CPU-starved setups may still
+    prefer processes. Worker processes decode truly in parallel; the pool
     persists across epochs and receives the pickled dataset once per
     worker at startup. Batches are `prefetch_batches`-deep software
     pipelined via map_async, with the same deterministic per-epoch
