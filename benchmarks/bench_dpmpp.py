@@ -7,7 +7,9 @@ solvers match DDIM-50 sample quality in the diffusion literature. The
 point: images/sec for the SAME perceptual quality, i.e. effective serving
 throughput beyond the DDIM-50 protocol number.
 
-Usage: python benchmarks/bench_dpmpp.py [batch] [steps]
+Usage: python benchmarks/bench_dpmpp.py [batch] [steps] [sampler]
+sampler: dpm++ (default) or unipc — UniPC-2's corrector holds quality to
+~10 steps, halving serving cost again (diffusion/unipc.py).
 """
 
 import os
@@ -36,6 +38,7 @@ def main() -> None:
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    sampler = sys.argv[3] if len(sys.argv) > 3 else "dpm++"
 
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
@@ -57,7 +60,7 @@ def main() -> None:
 
         params = cast_floating(params, jnp.bfloat16)
     pipe = GenerationPipeline(
-        model, num_steps=steps, sampler="dpm++", output_uint8=True)
+        model, num_steps=steps, sampler=sampler, output_uint8=True)
 
     rng = np.random.default_rng(0)
     h, w = cfg.latent_size
@@ -82,7 +85,7 @@ def main() -> None:
         np.asarray(out)
         times.append(time.perf_counter() - t0)
     best = min(times)
-    print(f"batch={batch} dpm++ steps={steps}: sequential best "
+    print(f"batch={batch} {sampler} steps={steps}: sequential best "
           f"{best*1000:.1f} ms/batch (median {np.median(times)*1000:.1f})",
           file=sys.stderr)
 
@@ -99,12 +102,13 @@ def main() -> None:
         rates.append(n_pipe * batch / (time.perf_counter() - t0))
     imgs_per_sec = max(max(rates), batch / best)
     print(f"pipelined throughput (best of {len(rates)} x {n_pipe}): "
-          f"{imgs_per_sec:.2f} img/s at dpm++-{steps}", file=sys.stderr)
-    print({"sampler": "dpm++", "steps": steps, "batch": batch,
+          f"{imgs_per_sec:.2f} img/s at {sampler}-{steps}", file=sys.stderr)
+    print({"sampler": sampler, "steps": steps, "batch": batch,
            "img_per_sec": round(imgs_per_sec, 2)})
     from _ledger import record
 
-    record(f"sample_interp256_dpmpp{steps}", imgs_per_sec, "img/s",
+    tag = "dpmpp" if sampler == "dpm++" else sampler
+    record(f"sample_interp256_{tag}{steps}", imgs_per_sec, "img/s",
            batch=batch, sequential_best_ms=round(best * 1000, 1))
 
 

@@ -592,10 +592,11 @@ def main(argv=None):
             sp.add_argument("--seed", type=int, default=0)
             sp.add_argument("--max-images", type=int, default=None)
             sp.add_argument("--sampler", default=None,
-                            choices=("ddim", "dpm++"),
-                            help="ddim (reference protocol) or dpm++ "
+                            choices=("ddim", "dpm++", "unipc"),
+                            help="ddim (reference protocol), dpm++ "
                                  "(DPM-Solver++(2M): comparable quality in "
-                                 "~2.5x fewer steps, e.g. --steps 20)")
+                                 "~2.5x fewer steps, e.g. --steps 20) or "
+                                 "unipc (UniPC-2: ~10 steps)")
             sp.add_argument("--tp", type=int, default=1,
                             help="tensor-parallel degree: shard the U-Net's "
                                  "transformer matmuls over a (data x model) "
@@ -622,7 +623,7 @@ def main(argv=None):
                                  "replicated program, batches sharded over "
                                  "the mesh data axis (batch must divide)")
             sp.add_argument("--sampler", default=None,
-                            choices=("ddim", "dpm++"))
+                            choices=("ddim", "dpm++", "unipc"))
             sp.add_argument("--upscale-base", nargs="*", default=None,
                             help="upscale-stage config: serve the chained "
                                  "256->512 pipeline (one submit per 512px "

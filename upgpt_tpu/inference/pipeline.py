@@ -66,15 +66,20 @@ class GenerationPipeline:
         # path saves uint8 images anyway); off by default for tests/APIs
         # that expect [-1,1] floats
         self.output_uint8 = output_uint8
-        # "ddim" (reference protocol) or "dpm++" (DPM-Solver++(2M): same
-        # quality in ~2.5x fewer steps; deterministic, eta ignored)
-        if sampler not in ("ddim", "dpm++"):
+        # "ddim" (reference protocol), "dpm++" (DPM-Solver++(2M): same
+        # quality in ~2.5x fewer steps) or "unipc" (UniPC-2: corrector on
+        # top, usable at ~10 steps); the ODE solvers ignore eta
+        if sampler not in ("ddim", "dpm++", "unipc"):
             raise ValueError(f"unknown sampler {sampler!r}")
         self.sampler = sampler
         if sampler == "dpm++":
             from upgpt_tpu.diffusion.dpm_solver import make_dpm_solver_schedule
 
             self.dpm = make_dpm_solver_schedule(model.schedule, num_steps)
+        elif sampler == "unipc":
+            from upgpt_tpu.diffusion.unipc import make_unipc_schedule
+
+            self.unipc = make_unipc_schedule(model.schedule, num_steps)
         self.ddim = make_ddim_schedule(model.schedule, num_steps, eta=eta)
         self._sample = jax.jit(self._sample_impl, static_argnames=("shared_x_T",))
 
@@ -142,6 +147,13 @@ class GenerationPipeline:
 
             z = dpm_solver_pp_sample(
                 eps_model, self.dpm, shape, cond, key,
+                x_T=x_T, guidance_scale=self.guidance_scale, uncond=uncond,
+            )
+        elif self.sampler == "unipc":
+            from upgpt_tpu.diffusion.unipc import unipc_sample
+
+            z = unipc_sample(
+                eps_model, self.unipc, shape, cond, key,
                 x_T=x_T, guidance_scale=self.guidance_scale, uncond=uncond,
             )
         else:
