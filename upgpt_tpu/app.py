@@ -49,7 +49,7 @@ textarea,input{width:100%%}button{padding:.5em 1.5em;margin:.5em 0}
 <label>Frames (pose interpolation; 1 = single)</label><input id=frames value="1">
 <label>Steps</label><input id=steps value="50">
 <label>Sampler</label><select id=sampler>
-<option value="ddim">ddim</option><option value="dpm++">dpm++ (fast, ~20 steps)</option>
+<option value="ddim">ddim</option><option value="dpm++">dpm++ (fast, ~20 steps)</option><option value="unipc">unipc (fastest, ~10 steps)</option>
 </select>
 <button onclick="gen()">Generate</button>
 <button onclick="up()">Upscale last</button>
@@ -130,7 +130,7 @@ class DemoState:
 
         frames = max(1, int(req.get("frames", 1)))
         steps = int(req.get("steps", 50))
-        sampler = str(req.get("sampler", "ddim"))  # "ddim" | "dpm++"
+        sampler = str(req.get("sampler", "ddim"))  # "ddim" | "dpm++" | "unipc"
         txt = [req.get("txt", "")]
         text_emb = np.asarray(self.encoder.text_hidden(txt))
 
