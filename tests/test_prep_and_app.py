@@ -82,6 +82,16 @@ def test_app_generate_and_errors(app_server):
     )
     resp = json.loads(urllib.request.urlopen(req).read())
     assert "images" in resp and len(resp["images"]) == 2
+    # every sampler option the UI offers must round-trip
+    for sampler in ("dpm++", "unipc"):
+        req = urllib.request.Request(
+            app_server + "/api/generate",
+            data=json.dumps({"txt": "a woman", "steps": 2,
+                             "sampler": sampler}).encode(),
+            method="POST",
+        )
+        resp = json.loads(urllib.request.urlopen(req).read())
+        assert "images" in resp and len(resp["images"]) == 1, sampler
     # bad endpoint -> structured error
     req = urllib.request.Request(app_server + "/api/nope", data=b"{}", method="POST")
     try:
