@@ -235,28 +235,37 @@ def main() -> None:
     print(f"batch={batch} steps={steps}: sequential best {best*1000:.1f} "
           f"ms/batch (median {np.median(times)*1000:.1f})", file=sys.stderr)
 
-    # Steady-state serving throughput: keep one batch in flight so batch
-    # i+1's device program runs while batch i's uint8 output drains over the
-    # tunnel (JAX dispatch is async; d2h of a finished buffer overlaps
-    # compute). This is the production pattern — per-batch latency above is
-    # reported alongside.
+    # Steady-state serving throughput: keep `depth` batches in flight so
+    # batch i's d2h drain AND the host's dispatch of later batches overlap
+    # the device program (JAX dispatch is async). depth=2 (round 4) hides
+    # the per-batch dispatch window that one-in-flight exposed — the device
+    # always has a queued program when it finishes the current one. This is
+    # the production pattern (ServingEngine max_in_flight); per-batch
+    # latency above is reported alongside.
     # best-of-5 reps: the tunnel's congestion windows stretch individual
     # reps by 30-60%; more reps make the best-of robust to them
+    from collections import deque
+
+    depth = int(os.environ.get("UPGPT_PIPE_DEPTH", "2"))
     n_pipe = 6
     rates = []
     for rep in range(5):
-        prev = None
+        inflight = deque()
         t0 = time.perf_counter()
         for i in range(n_pipe):
-            out = pipe.generate(params, eb, jax.random.fold_in(key, 100 * rep + i))
-            if prev is not None:
-                np.asarray(prev)
-            prev = out
-        np.asarray(prev)
+            inflight.append(pipe.generate(
+                params, eb, jax.random.fold_in(key, 100 * rep + i)))
+            if len(inflight) > depth:
+                np.asarray(inflight.popleft())
+        while inflight:
+            np.asarray(inflight.popleft())
         rates.append(n_pipe * batch / (time.perf_counter() - t0))
-    imgs_per_sec = max(max(rates), batch / best)
-    print(f"pipelined throughput (best of {len(rates)} runs x {n_pipe} "
-          f"batches): {imgs_per_sec:.2f} img/s", file=sys.stderr)
+    pipelined = max(rates)
+    seq_rate = batch / best
+    imgs_per_sec = max(pipelined, seq_rate)
+    print(f"pipelined depth={depth} throughput (best of {len(rates)} runs x "
+          f"{n_pipe} batches): {pipelined:.2f} img/s "
+          f"(sequential {seq_rate:.2f})", file=sys.stderr)
 
     flops_per_image = (UNET_GFLOP_PER_IMAGE_STEP * steps + DECODE_GFLOP_PER_IMAGE) * 1e9
     ref_imgs_per_sec = A100_EFFECTIVE_FLOPS / flops_per_image
@@ -279,6 +288,9 @@ def main() -> None:
                 **result, "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
                 "device": str(dev), "batch": batch,
                 "sequential_best_ms": round(best * 1000, 1),
+                "pipelined_img_per_s": round(pipelined, 2),
+                "sequential_img_per_s": round(seq_rate, 2),
+                "pipeline_depth": depth,
             }) + "\n")
     except OSError:
         pass  # read-only checkout: the stdout line is the contract

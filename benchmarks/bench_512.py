@@ -145,24 +145,33 @@ def main():
           f"{best*1000:.1f} ms (median {np.median(times)*1000:.1f}), "
           f"{batch/best:.2f} img/s sequential")
 
-    # pipelined/serving mode (VERDICT r2 item 4): one batch in flight, d2h
-    # of batch i overlaps batch i+1's compute — same pattern as bench.py
+    # pipelined/serving mode (VERDICT r2 item 4): batches in flight so d2h
+    # (and, depth>=2, host dispatch) of batch i overlaps later batches'
+    # compute — same pattern as bench.py
+    from collections import deque
+
     n_pipe = 4
+    depth = int(os.environ.get("UPGPT_PIPE_DEPTH", "2"))
     rates = []
     for rep in range(4):
-        prev = None
+        inflight = deque()
         t0 = time.perf_counter()
         for i in range(n_pipe):
-            out = pipe.generate(params, eb,
-                                jax.random.fold_in(key, 100 * rep + i))
-            if prev is not None:
-                np.asarray(prev)
-            prev = out
-        np.asarray(prev)
+            inflight.append(pipe.generate(
+                params, eb, jax.random.fold_in(key, 100 * rep + i)))
+            if len(inflight) > depth:
+                np.asarray(inflight.popleft())
+        while inflight:
+            np.asarray(inflight.popleft())
         rates.append(n_pipe * batch / (time.perf_counter() - t0))
-    pipelined = max(max(rates), batch / best)
-    print(f"{variant} pipelined throughput (best of {len(rates)} x {n_pipe} "
-          f"batches): {pipelined:.2f} img/s")
+    pipelined = max(rates)
+    seq_rate = batch / best
+    # headline = the faster serving mode; a pipelining regression now shows
+    # up as pipelined < sequential in the ledger instead of being masked
+    throughput = max(pipelined, seq_rate)
+    print(f"{variant} pipelined depth={depth} (best of {len(rates)} x "
+          f"{n_pipe} batches): {pipelined:.2f} img/s "
+          f"(sequential {seq_rate:.2f})")
 
     # roofline: analytic FLOPs from flop_count.py's exact module walk
     try:
@@ -170,7 +179,7 @@ def main():
 
         v = VARIANTS[variant]
         per_image = unet_flops(v) * steps + decoder_flops(v)
-        mfu = pipelined * per_image / (PEAK_TFS * 1e12)
+        mfu = throughput * per_image / (PEAK_TFS * 1e12)
         print(f"{variant}: {per_image/1e12:.2f} TF/image -> MFU "
               f"{mfu*100:.0f}% (speed-of-light "
               f"{PEAK_TFS*1e12/per_image:.1f} img/s)")
@@ -178,8 +187,11 @@ def main():
         mfu = None
     from _ledger import record
 
-    record(f"sample_{variant}_{sampler}{steps}", pipelined, "img/s",
+    record(f"sample_{variant}_{sampler}{steps}", throughput, "img/s",
            batch=batch, sequential_best_ms=round(best * 1000, 1),
+           pipelined_img_per_s=round(pipelined, 2),
+           sequential_img_per_s=round(seq_rate, 2),
+           pipeline_depth=depth,
            mfu=round(mfu, 3) if mfu else None)
 
 

@@ -11,6 +11,7 @@ MACs counted as 2 FLOPs.
 Usage:
     python benchmarks/flop_count.py                      # all variants
     python benchmarks/flop_count.py interp_256 [steps]   # one, w/ ceiling
+    python benchmarks/flop_count.py train                # train MFU table
 """
 
 import sys
@@ -159,6 +160,74 @@ def decoder_flops(v):
     return total
 
 
+def encoder_flops(v):
+    """Frozen first-stage ENCODER forward (model.py:368-460 layout):
+    conv_in at image res, len(mult) levels of nres resblocks with a
+    stride-2 downsample conv between levels, mid res+attn+res, conv_out
+    to the 2z moments, quant_conv 1x1."""
+    d = v["vae"]
+    ch, mult, nres, z = d["ch"], d["mult"], d["nres"], d["z"]
+    h, w = d["out_hw"]  # encoder input = output image resolution
+
+    def resblock(hh, ww, cin, cout):
+        f = conv(hh, ww, cin, cout) + conv(hh, ww, cout, cout)
+        if cin != cout:
+            f += conv(hh, ww, cin, cout, k=1)
+        return f
+
+    total = conv(h, w, 3, ch)  # conv_in
+    c = ch
+    for i, m in enumerate(mult):
+        cout = ch * m
+        for _ in range(nres):
+            total += resblock(h, w, c, cout)
+            c = cout
+        if i != len(mult) - 1:
+            h, w = h // 2, w // 2
+            total += conv(h, w, c, c)  # asym-pad stride-2 downsample
+    t = h * w
+    total += resblock(h, w, c, c)
+    total += dense(t, c, c) * 4 + 2 * 2 * t * t * c  # mid attn
+    total += resblock(h, w, c, c)
+    total += conv(h, w, c, 2 * z)        # conv_out -> moments
+    total += conv(h, w, 2 * z, 2 * z, k=1)  # quant_conv
+    return total
+
+
+def train_flops(v):
+    """One training step, per image: frozen-VAE encode (forward only;
+    reference ddpm.py:830-845 encodes under no_grad) + U-Net fwd + bwd.
+    bwd = 2x fwd — the standard convention (grad-wrt-input + grad-wrt-
+    weight passes each cost one forward's MACs). AdamW/EMA elementwise
+    FLOPs are negligible; their cost is HBM traffic, accounted separately
+    in docs/PERF.md's train-step decomposition."""
+    return encoder_flops(v) + 3 * unet_flops(v)
+
+
+# Best measured train steps (benchmarks/bench_train.py / bench_512.py train,
+# one v5e chip, bf16 compute + f32 masters/moments/EMA, synthetic batches;
+# ledger rows in results.jsonl / docs/PERF.md train sections).
+MEASURED_TRAIN_MS = {
+    ("interp_256", 12): 76.9,
+    ("interp_256", 24): 113.5,
+    ("interp_256", 32): 142.8,
+    ("mm_512", 8): 171.2,
+    ("upscale", 8): 293.5,
+}
+
+
+def train_report():
+    print(f"{'variant':>12s} {'bs':>3s} {'TF/img':>7s} {'ms/step':>8s} "
+          f"{'img/s':>6s} {'MFU':>5s}")
+    for (name, bs), ms in MEASURED_TRAIN_MS.items():
+        v = VARIANTS[name]
+        tf = train_flops(v) / 1e12
+        rate = bs / ms * 1000
+        mfu = rate * tf * 1e12 / (PEAK_TFS * 1e12)
+        print(f"{name:>12s} {bs:3d} {tf:7.3f} {ms:8.1f} {rate:6.1f} "
+              f"{mfu*100:4.0f}%")
+
+
 def report(name, steps=50):
     v = VARIANTS[name]
     uf = unet_flops(v, verbose=True)
@@ -174,7 +243,9 @@ def report(name, steps=50):
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] in VARIANTS:
+    if len(sys.argv) > 1 and sys.argv[1] == "train":
+        train_report()
+    elif len(sys.argv) > 1 and sys.argv[1] in VARIANTS:
         report(sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 50)
     else:
         for n in VARIANTS:

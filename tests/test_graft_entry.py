@@ -61,6 +61,15 @@ def test_dryrun_scale_out(n, tp):
     ge.dryrun_multichip(n, tp=tp)  # raises on nonzero subprocess rc
 
 
+def test_dryrun_hybrid_two_slices():
+    """2 slices x 4 chips hybrid ICI x DCN mesh (VERDICT r3 item 7): DP
+    spans both mesh axes and the loss matches the flat 8-device mesh
+    exactly (asserted inside the dryrun)."""
+    import __graft_entry__ as ge
+
+    ge.dryrun_hybrid(8, n_slices=2)  # raises on nonzero subprocess rc
+
+
 @pytest.mark.slow
 def test_dryrun_32_devices():
     """32-device (16 data x 2 model) virtual mesh — the largest VERDICT r2

@@ -107,6 +107,10 @@ def evaluate_dirs(
         metrics[key] = fid_from_features(
             np.concatenate(feats_s), np.concatenate(feats_g)
         )
+        if key == "fid_inception":
+            # compat alias: external consumers of metrics.csv/txt keyed on
+            # the pre-rename 'fid' still see the protocol (inception) number
+            metrics["fid"] = metrics[key]
 
     fields = ["file", "ssim", "ms_ssim"] + (["lpips"] if lpips_fn else [])
     with open(Path(results_dir) / "metrics.csv", "w", newline="") as f:

@@ -12,9 +12,12 @@ static-shape batches. This engine productizes the pattern bench.py measures:
   latency for occupancy, and the tail batch is padded to the static batch
   shape so ONE compiled program serves every composition (no recompiles,
   no dynamic shapes);
-- one batch stays in flight: batch i+1 is dispatched (JAX async dispatch)
-  before batch i's device->host transfer is fenced, so the device never
-  idles between batches — the steady-state serving pattern;
+- up to `max_in_flight` batches stay dispatched-but-unfenced (default 2):
+  batch i+1 is dispatched (JAX async dispatch) before batch i's
+  device->host transfer is fenced, so the device never idles between
+  batches, and at depth>=2 the host's pack+dispatch of the NEXT batch is
+  also hidden — the regime that matters for ~10-step samplers, where
+  dispatch is comparable to device time (docs/PERF.md round 4);
 - per-request futures deliver sliced results; a failed batch fails only
   its own requests and the engine keeps serving.
 
@@ -78,18 +81,27 @@ class ServingEngine:
         max_delay_s: float = 0.25,
         base_seed: int = 0,
         mesh=None,
+        max_in_flight: int = 2,
     ):
         """`mesh`: optional jax.sharding.Mesh for data-parallel serving —
         each packed batch is sharded over the mesh's `data` axis and the
         params are replicated once, so jit scales the SAME compiled
         program over every chip (batch_size must divide by the data-axis
-        size). One-chip serving passes mesh=None and is unchanged."""
+        size). One-chip serving passes mesh=None and is unchanged.
+
+        `max_in_flight`: dispatched-but-unfenced batch depth. 1 overlaps
+        only d2h with compute; 2 (default) also overlaps the HOST's
+        pack+dispatch of the next batch, which dominates at low step
+        counts (UniPC-10 is dispatch-bound at depth 1 — docs/PERF.md
+        round 4). Higher depths add queueing latency without throughput
+        beyond the point where the device is saturated."""
         self.pipeline = pipeline
         self.params = params
         self.batch_size = int(batch_size)
         self.max_delay_s = float(max_delay_s)
         self.base_seed = int(base_seed)
         self.mesh = mesh
+        self.max_in_flight = max(1, int(max_in_flight))
         if mesh is not None:
             import jax
 
@@ -225,7 +237,7 @@ class ServingEngine:
         import jax
 
         base_key = jax.random.PRNGKey(self.base_seed)
-        prev = None  # (device_out, items, t_dispatch)
+        inflight: deque = deque()  # (device_out, items, t_dispatch), oldest first
 
         def fence(entry):
             out, items, _ = entry
@@ -245,13 +257,12 @@ class ServingEngine:
                     i += 1
 
         while True:
-            items = self._collect(wait=prev is None)
+            items = self._collect(wait=not inflight)
             if not items:
-                if prev is not None:
-                    fence(prev)
-                    prev = None
-                if (self._stopping.is_set() and self._queue.empty()
-                        and self._pushback is None):
+                if inflight:
+                    fence(inflight.popleft())
+                if (not inflight and self._stopping.is_set()
+                        and self._queue.empty() and self._pushback is None):
                     return
                 continue
             n_samples = sum(len(futs) for _, futs, _ in items)
@@ -272,6 +283,9 @@ class ServingEngine:
             self.stats.requests += n_samples
             self.stats.images += self.batch_size
             self.stats.padded_slots += self.batch_size - n_samples
-            if prev is not None:
-                fence(prev)  # overlap: current batch computes during this d2h
-            prev = (out, items, time.perf_counter())
+            # overlap: later batches' dispatch AND compute run during the
+            # oldest batch's d2h; depth>1 keeps a program queued on-device
+            # across the host's pack+dispatch window (docs/PERF.md round 4)
+            inflight.append((out, items, time.perf_counter()))
+            while len(inflight) >= self.max_in_flight + 1:
+                fence(inflight.popleft())

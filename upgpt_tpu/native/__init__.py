@@ -61,6 +61,43 @@ def _build() -> bool:
         return False
 
 
+def _probe_matches_pil(lib: ctypes.CDLL) -> bool:
+    """Decode one in-memory probe JPEG through the native core and PIL.
+
+    Bit-exactness with PIL holds only when both link the SAME libjpeg
+    (same IDCT tables); on a host where PIL bundles a different
+    libjpeg(-turbo) than the system one the .so found, output would
+    silently diverge. This first-load probe disables the native path on
+    any mismatch instead of trusting the build-host test.
+    """
+    try:
+        import io
+
+        from PIL import Image
+
+        rng = np.random.default_rng(0)
+        # low-frequency content so every libjpeg agrees it is decodable
+        img = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+        img = np.kron(img, np.ones((16, 16, 1), np.uint8))
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="JPEG", quality=88)
+        data = buf.getvalue()
+
+        pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        h = ctypes.c_int()
+        w = ctypes.c_int()
+        if lib.upgpt_jpeg_header(data, len(data), ctypes.byref(h),
+                                 ctypes.byref(w)):
+            return False
+        out = np.empty((h.value, w.value, 3), np.uint8)
+        if lib.upgpt_decode_jpeg(data, len(data), out.ctypes.data,
+                                 h.value, w.value):
+            return False
+        return out.shape == pil.shape and np.array_equal(out, pil)
+    except Exception:  # noqa: BLE001 — any probe hiccup -> PIL fallback
+        return False
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _state
     if _state != "unbuilt":
@@ -84,6 +121,9 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
                 ctypes.c_int, ctypes.c_int,
             ]
+            if not _probe_matches_pil(lib):
+                _state = "failed"
+                return None
             _lib = lib
             _state = "ok"
         except OSError:

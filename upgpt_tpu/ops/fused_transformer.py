@@ -467,6 +467,11 @@ def _fused_forward(x_tokens, p, heads, context, kv, gn_eps):
 
     ctx_dim = None if context is None else context.shape[-1]
     spp = _SPP_OVERRIDE or _pick_spp(b, t, c, tk, kv_pre, ctx_dim)
+    if b % spp:
+        # grid=(b // spp,) would silently skip the trailing b % spp samples
+        raise ValueError(
+            f"_SPP_OVERRIDE={spp} does not divide batch {b}; the grid would "
+            f"leave {b % spp} samples' output blocks unwritten")
     # Mosaic's default scoped-VMEM limit is 16 MB; a multi-sample program
     # legitimately needs more (measured 24.3 MB at the training ds1
     # geometry, spp=2). Raise the per-kernel cap from the estimate with

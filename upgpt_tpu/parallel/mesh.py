@@ -36,8 +36,44 @@ def create_mesh(
     return Mesh(arr, tuple(axis_names[: arr.ndim]))
 
 
-def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
-    """Shard dim 0 (batch) across the data axis; everything else replicated."""
+def create_hybrid_mesh(
+    n_slices: int,
+    chips_per_slice: int,
+    axis_names: Sequence[str] = ("slice", "chip"),
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Two-axis (slice, chip) mesh for multi-slice pods: `chip` rides ICI
+    within a slice, `slice` rides DCN across slices (SURVEY §2.2's
+    TPU-equivalent of the reference's num_nodes NCCL topology).
+
+    Data parallelism spans BOTH axes (`P(("slice", "chip"))` on the batch
+    dim): jit then emits a hierarchical gradient all-reduce — reduce-scatter
+    /all-gather over ICI inside each slice plus one slice-count-sized
+    exchange over DCN — instead of a flat ring over the slow links, because
+    the inner mesh axis holds the ICI-adjacent devices.
+
+    Real multi-slice backends report `device.slice_index`; devices are
+    grouped by it so rows of the mesh are genuine slices. Virtual platforms
+    (CPU `xla_force_host_platform_device_count`, used by the dryrun) expose
+    no slice_index and fall back to id order — same mesh shape, same
+    collectives, which is exactly what the dryrun validates.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = n_slices * chips_per_slice
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices for a {n_slices}x"
+                         f"{chips_per_slice} hybrid mesh, got {len(devices)}")
+    devices = sorted(devices[:n],
+                     key=lambda d: (getattr(d, "slice_index", 0) or 0, d.id))
+    arr = np.asarray(devices).reshape(n_slices, chips_per_slice)
+    return Mesh(arr, tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh, axis=None) -> NamedSharding:
+    """Shard dim 0 (batch) across the data axis (or axes — a hybrid mesh
+    passes ("slice", "chip") so DP spans ICI and DCN); rest replicated."""
+    if axis is None:
+        axis = "data" if "data" in mesh.axis_names else tuple(mesh.axis_names)
     return NamedSharding(mesh, P(axis))
 
 
@@ -45,7 +81,7 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch: Any, axis: str = "data") -> Any:
+def shard_batch(mesh: Mesh, batch: Any, axis=None) -> Any:
     """Device-put a host batch pytree with dim-0 sharded on `axis`.
 
     Single-host: `batch` is the global batch; a plain sharded device_put.
