@@ -1,0 +1,239 @@
+"""Sampler quality evidence: DDIM-50 / DPM++-20 / UniPC-10 vs DDIM-200.
+
+The throughput tables (docs/PERF.md) show the beyond-parity solvers halve
+and quarter serving cost; THIS script supplies the quality side of that
+claim (VERDICT r3 item 2). Protocol:
+
+1. Overfit the FULL interp_256 geometry (224ch U-Net, frozen kl-f8) on a
+   fixed synthetic batch for --train-steps real optimizer steps on-chip —
+   the same convergence drill as `bench_train.py --convergence`, giving a
+   model whose score field is trained (not random), so sampler
+   discretization error shows up as perceptual image error.
+2. Sample the SAME conditioning from the SAME x_T (identical RNG key;
+   eta=0 everywhere so every sampler integrates the same deterministic
+   probability-flow ODE) with: DDIM-200 (the fine-grid reference — the
+   reference app's own step count, app.py:55), then DDIM-50 (eval
+   protocol, ddpm.py:1327-1377), DPM++(2M)-20/-10, UniPC-2-10/-5.
+3. Decode, save PNGs, and score each candidate against the DDIM-200 set
+   through `eval/harness.evaluate_dirs` — the scripts/eval_metrics.py:90-136
+   protocol (center-crop 256x176, SSIM + MS-SSIM, LPIPS when weights are
+   supplied via UPGPT_LPIPS_WEIGHTS).
+
+Output: one table + a `sampler_quality_*` ledger row per sampler. The
+claim "DPM++-20 / UniPC-10 match DDIM-50 quality" is supported when their
+similarity to DDIM-200 is >= DDIM-50's similarity to DDIM-200.
+
+Usage: python benchmarks/sampler_quality.py [--train-steps N] [--batch B]
+       python benchmarks/sampler_quality.py --tiny   (CPU-sized rehearsal)
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SAMPLERS = [
+    # (label, sampler, steps)
+    ("ddim50", "ddim", 50),
+    ("dpmpp20", "dpm++", 20),
+    ("dpmpp10", "dpm++", 10),
+    ("unipc10", "unipc", 10),
+    ("unipc5", "unipc", 5),
+]
+REF = ("ddim200", "ddim", 200)
+
+
+def build_model(tiny: bool, on_tpu: bool):
+    import jax.numpy as jnp
+
+    from upgpt_tpu.diffusion.latent_diffusion import (
+        LatentDiffusion, LatentDiffusionConfig,
+    )
+    from upgpt_tpu.models.unet import UNetConfig
+    from upgpt_tpu.models.vae import AutoencoderConfig
+
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    if tiny:
+        cfg = LatentDiffusionConfig(
+            unet=UNetConfig(
+                in_channels=5, model_channels=32, out_channels=4,
+                num_res_blocks=1, attention_resolutions=(1, 2),
+                channel_mult=(1, 2), num_heads=4, context_dim=64,
+                use_flash_attention=False,
+            ),
+            vae=AutoencoderConfig(embed_dim=4, z_channels=4, ch=32,
+                                  ch_mult=(1, 2), num_res_blocks=1,
+                                  resolution=16),
+            timesteps=1000, latent_size=(8, 8), latent_channels=4,
+            pose_input_dim=85, context_dim=64,
+        )
+    else:
+        cfg = LatentDiffusionConfig.interp_256(
+            unet=UNetConfig.interp_256(
+                dtype=dtype, use_flash_attention=on_tpu,
+                use_fused_transformer=on_tpu,
+            ),
+            vae=AutoencoderConfig.kl_f8(dtype=dtype,
+                                        use_flash_attention=on_tpu),
+        )
+    return LatentDiffusion(cfg)
+
+
+def make_batch(cfg, batch, ctx_dim, tiny):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    h, w = cfg.latent_size
+    f = 2 ** (len(cfg.vae.ch_mult) - 1)
+    return {
+        "image": jnp.asarray(rng.normal(size=(batch, h * f, w * f, 3)) * 0.3,
+                             jnp.float32),
+        "person_mask": jnp.asarray(
+            rng.choice([-1.0, -0.99215686], size=(batch, h, w, 1)),
+            jnp.float32),
+        "text_emb": jnp.asarray(rng.normal(size=(batch, 77, ctx_dim)),
+                                jnp.float32),
+        "style_emb": jnp.asarray(rng.normal(size=(batch, 9, ctx_dim)),
+                                 jnp.float32),
+        "smpl": jnp.asarray(rng.normal(size=(batch, 1, 85)), jnp.float32),
+        "loss_w": jnp.ones((batch, h, w, 1), jnp.float32),
+    }
+
+
+def save_dir(path, imgs_uint8):
+    from PIL import Image
+
+    os.makedirs(path, exist_ok=True)
+    for i, im in enumerate(imgs_uint8):
+        Image.fromarray(np.asarray(im)).save(
+            os.path.join(path, f"{i:03d}.png"))
+
+
+def main():
+    import jax
+
+    if "--cpu" in sys.argv:
+        # env JAX_PLATFORMS=cpu alone is NOT enough on this harness: a
+        # sitecustomize re-pins the axon TPU plugin after import, so a
+        # "CPU" run would silently contend with TPU benchmarks
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from upgpt_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    from upgpt_tpu.eval.harness import evaluate_dirs
+    from upgpt_tpu.inference.pipeline import GenerationPipeline
+    from upgpt_tpu.training.train_state import create_train_state, train_step
+
+    tiny = "--tiny" in sys.argv
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = {a.lstrip("-"): v for a, v in zip(sys.argv[1:], sys.argv[2:])
+             if a.startswith("--") and not v.startswith("--")}
+    train_steps = int(flags.get("train-steps", 80 if tiny else 800))
+    batch = int(flags.get("batch", 4 if tiny else 8))
+    del argv
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    model = build_model(tiny, on_tpu)
+    cfg = model.config
+    ctx_dim = cfg.context_dim or 768
+
+    params = jax.jit(model.init_params)(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    frozen = {"vae": params.pop("vae")}
+    state = create_train_state(params, learning_rate=1e-4, use_ema=True)
+    bt = make_batch(cfg, batch, ctx_dim, tiny)
+    key = jax.random.PRNGKey(1)
+
+    step_fn = jax.jit(
+        lambda s: train_step(model, s, frozen, bt, key), donate_argnums=0)
+    t0 = time.perf_counter()
+    state, metrics = step_fn(state)
+    loss0 = float(metrics["loss"])
+    for i in range(1, train_steps):
+        state, metrics = step_fn(state)
+    last = float(np.asarray(metrics["loss_simple"]))
+    print(f"overfit: {train_steps} steps in {time.perf_counter()-t0:.1f}s, "
+          f"loss {loss0:.4f} -> {last:.4f}", file=sys.stderr)
+
+    params = dict(state.params)
+    params["vae"] = frozen["vae"]
+    if on_tpu:
+        from upgpt_tpu.utils.diagnostics import cast_floating
+
+        params = cast_floating(params, jnp.bfloat16)
+
+    # conditioning = the training batch's (on-manifold for the overfit
+    # model); x_T identical across samplers (same key -> same k_noise draw;
+    # eta=0 everywhere so every trajectory is the deterministic PF-ODE)
+    eb = {k: bt[k] for k in ("text_emb", "style_emb", "smpl", "person_mask")}
+    gen_key = jax.random.PRNGKey(42)
+
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="sampler_quality_")
+    h_img = cfg.latent_size[0] * 2 ** (len(cfg.vae.ch_mult) - 1)
+    w_img = cfg.latent_size[1] * 2 ** (len(cfg.vae.ch_mult) - 1)
+    crop = (min(256, h_img), min(176, w_img))
+
+    def run(label, sampler, steps):
+        pipe = GenerationPipeline(model, num_steps=steps, eta=0.0,
+                                  sampler=sampler, output_uint8=True)
+        t0 = time.perf_counter()
+        out = np.asarray(pipe.generate(params, eb, gen_key))
+        print(f"  {label}: sampled in {time.perf_counter()-t0:.1f}s",
+              file=sys.stderr)
+        return out
+
+    ref_imgs = run(*REF)
+
+    lpips_fn = None
+    lpips_path = os.environ.get("UPGPT_LPIPS_WEIGHTS")
+    if lpips_path and os.path.exists(lpips_path):
+        from upgpt_tpu.eval.lpips import load_lpips_fn
+
+        lpips_fn = load_lpips_fn(lpips_path)
+
+    from _ledger import record
+
+    print(f"{'sampler':>10s} {'ssim':>7s} {'ms_ssim':>8s}"
+          + (f" {'lpips':>7s}" if lpips_fn else ""))
+    results = {}
+    for label, sampler, steps in SAMPLERS:
+        imgs = run(label, sampler, steps)
+        rdir = os.path.join(work, label)
+        save_dir(os.path.join(rdir, "samples"), imgs)
+        save_dir(os.path.join(rdir, "gt"), ref_imgs)
+        m = evaluate_dirs(rdir, crop_hw=crop, lpips_fn=lpips_fn)
+        results[label] = m
+        line = f"{label:>10s} {m['ssim']:7.4f} {m['ms_ssim']:8.4f}"
+        if lpips_fn:
+            line += f" {m['lpips']:7.4f}"
+        print(line)
+        record(f"sampler_quality_{label}", m["ssim"], "ssim_vs_ddim200",
+               ms_ssim=round(m["ms_ssim"], 4),
+               lpips=round(m["lpips"], 4) if lpips_fn else None,
+               train_steps=train_steps, batch=batch, tiny=tiny)
+
+    # the serving claim: the fast solvers track the fine-grid reference at
+    # least as closely as the eval protocol's own DDIM-50 does.
+    # MS-SSIM needs >=160 px (5 dyadic scales) and is NaN at the tiny
+    # rehearsal geometry; fall back to SSIM there.
+    gate = ("ms_ssim" if np.isfinite(results["ddim50"]["ms_ssim"])
+            else "ssim")
+    base = results["ddim50"][gate]
+    for fast in ("dpmpp20", "unipc10"):
+        ok = results[fast][gate] >= base - 0.005
+        print(f"{fast} vs ddim50 quality gate ({gate}): "
+              f"{'PASS' if ok else 'FAIL'} "
+              f"({results[fast][gate]:.4f} vs {base:.4f})")
+    print(f"work dir: {work}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

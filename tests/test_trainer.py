@@ -332,3 +332,28 @@ def test_save_grid_streams_to_tensorboard(tmp_path):
     assert png.exists()
     events = list(tb_dir.glob("events.out.tfevents.*"))
     assert events and events[0].stat().st_size > 100  # image payload landed
+
+
+def test_log_images_writes_sample_and_progressive_grids(tmp_path, loaders):
+    """ImageLogger surface incl. the denoise-row progression (reference
+    progressive_denoising rows, ddpm.py:1395-1431 — VERDICT r3 item 9)."""
+    train, val = loaders
+    model = LatentDiffusion(tiny_config())
+    enc = DebugConditioningEncoder(context_dim=64, text_len=7)
+    cfg = TrainerConfig(
+        base_learning_rate=1e-4, scale_lr=False, batch_size=2, max_epochs=1,
+        log_every=1, log_images_every=1, image_log_ddim_steps=4,
+        image_log_progressive_frames=3, logdir=str(tmp_path / "run"),
+        early_stop_patience=None, warm_up_steps=1,
+    )
+    trainer = Trainer(model, cfg, enc)
+    trainer.fit(train, val)
+    imgs = sorted((tmp_path / "run" / "images").glob("*.png"))
+    names = {p.name.split("_")[0] for p in imgs}
+    assert "samples" in names
+    assert "progressive" in names
+    from PIL import Image
+
+    prog = sorted((tmp_path / "run" / "images").glob("progressive_*.png"))[0]
+    w, h = Image.open(prog).size
+    assert w >= 3 * 16  # 3 frames of 16px side by side per row

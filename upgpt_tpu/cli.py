@@ -563,11 +563,64 @@ def cmd_serve(cfg, args):
         print(json.dumps(engine.stats.summary()), file=sys.stderr)
 
 
+def cmd_bringup(cfg, args):
+    """Weight-drop runbook (upgpt_tpu/bringup.py): inventory -> convert
+    (EMA) -> self-validating smoke checks -> bench -> FID/LPIPS eval, one
+    acceptance report. First contact with the released weights should be
+    this command, not an interactive session (BASELINE.md build targets)."""
+    from upgpt_tpu.bringup import run_bringup
+
+    report = run_bringup(
+        args.drop, args.out,
+        variants=args.variants or None,
+        data_root=args.data_root,
+        skip_bench=args.skip_bench,
+        skip_eval=args.skip_eval,
+        geometry_override=args.geometry or None,
+    )
+    print(json.dumps({"accepted": report["accepted"],
+                      "report": str(Path(args.out) / "REPORT.md")}))
+    if not report["accepted"]:
+        raise SystemExit(3)
+
+
+def cmd_data_verify(cfg, args):
+    """Real-data readiness drill (upgpt_tpu/data/verify.py): validate a
+    DeepFashion root's CSV schemas, caption keys, SMPL pickles and tree
+    completeness before the first run. With --base, the dataset paths come
+    from the config's data.train entry; flags override."""
+    from upgpt_tpu.data.verify import verify_root
+
+    params = {}
+    if cfg:
+        split = (cfg.get("data") or {}).get(args.split) or {}
+        params = dict(split.get("params") or {})
+    kw = dict(
+        root=args.root or params.get("folder"),
+        image_dir=args.image_dir or params.get("image_dir", "img_256"),
+        pair_files=args.pair_file or params.get(
+            "pair_file", ["data/deepfashion/pairs-test-all.csv"]),
+        data_file=args.data_file or params.get(
+            "data_file", "data/deepfashion/deepfashion_map.csv"),
+        input_mask_type=params.get("input_mask_type", "bbox"),
+        check_loss_weight=bool(params.get("loss_weight", True)),
+        limit=args.limit,
+    )
+    if not kw["root"]:
+        raise SystemExit("--root (or a --base config with data paths) required")
+    if isinstance(kw["pair_files"], str):
+        kw["pair_files"] = [kw["pair_files"]]
+    report = verify_root(**kw)
+    print(json.dumps(report, indent=2))
+    if not report["ok"]:
+        raise SystemExit(2)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("upgpt_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in ("train", "train-vae", "sample", "test", "eval", "convert",
-                 "serve"):
+                 "serve", "bringup", "data-verify"):
         sp = sub.add_parser(name)
         sp.add_argument("--base", nargs="*", default=[])
         sp.add_argument("overrides", nargs="*", help="key=value dotlist")
@@ -636,6 +689,29 @@ def main(argv=None):
             sp.add_argument("--ema", action="store_true",
                             help="convert the model_ema shadow weights "
                                  "(the released eval protocol, ema_scope)")
+        if name == "data-verify":
+            sp.add_argument("--root", default=None,
+                            help="DeepFashion root (defaults to the config's "
+                                 "data.<split>.params.folder)")
+            sp.add_argument("--split", default="train")
+            sp.add_argument("--image-dir", default=None)
+            sp.add_argument("--pair-file", nargs="*", default=None)
+            sp.add_argument("--data-file", default=None)
+            sp.add_argument("--limit", type=int, default=None,
+                            help="check only the first N pair rows")
+        if name == "bringup":
+            sp.add_argument("--drop", required=True,
+                            help="directory with the released ckpts + CLIP "
+                                 "+ LPIPS + pt_inception files")
+            sp.add_argument("--out", default="bringup")
+            sp.add_argument("--data-root", default=None,
+                            help="DeepFashion root for the FID/LPIPS gate")
+            sp.add_argument("--variants", nargs="*", default=None)
+            sp.add_argument("--geometry", default=None,
+                            help="override converter geometry (rehearsals "
+                                 "use 'tiny')")
+            sp.add_argument("--skip-bench", action="store_true")
+            sp.add_argument("--skip-eval", action="store_true")
     args = p.parse_args(argv)
     if getattr(args, "multihost", False):
         # must run before the first backend touch (jax.devices())
@@ -647,8 +723,9 @@ def main(argv=None):
     enable_persistent_cache()  # warm process restarts skip the 1-10 min compile
     cfg = merge_configs(args.base, args.overrides) if args.base else {}
     {"train": cmd_train, "train-vae": cmd_train_vae, "sample": cmd_sample,
-     "test": cmd_test, "eval": cmd_eval,
-     "convert": cmd_convert, "serve": cmd_serve}[args.cmd](cfg, args)
+     "test": cmd_test, "eval": cmd_eval, "convert": cmd_convert,
+     "serve": cmd_serve, "bringup": cmd_bringup,
+     "data-verify": cmd_data_verify}[args.cmd](cfg, args)
 
 
 if __name__ == "__main__":

@@ -77,11 +77,19 @@ def ddim_sample(
     uncond: Optional[Dict[str, Any]] = None,
     inpaint_mask: Optional[jax.Array] = None,
     x0: Optional[jax.Array] = None,
+    return_pred_x0: bool = False,
 ) -> jax.Array:
     """Run the full DDIM reverse process; returns z_0 (latent).
 
     `shape` is the NHWC latent shape (B, h, w, C). All tables enter the scan
     as stacked per-step constants, so the loop compiles to one fused while.
+
+    `return_pred_x0=True` additionally returns the per-step x0 predictions
+    stacked as (num_steps, B, h, w, C) — the reference's progressive
+    denoise-row debug surface (ddpm.py:1395-1431 progressive_denoising /
+    `log_every_t` intermediates), emitted as scan outputs so the program
+    stays ONE fused loop (latent-rate, so 50 steps of intermediates cost
+    ~5 MB at the flagship geometry).
     """
     if x_T is None:
         key, k_init = jax.random.split(key)
@@ -124,7 +132,7 @@ def ddim_sample(
         else:
             noise = 0.0
         x_prev = jnp.sqrt(ap) * pred_x0 + dir_xt + noise
-        return (x_prev, k), None
+        return (x_prev, k), (pred_x0 if return_pred_x0 else None)
 
     n = ddim.num_steps
     per_step = (
@@ -132,7 +140,9 @@ def ddim_sample(
     )
     # unroll=2 shaves scan bookkeeping and lets XLA overlap adjacent steps'
     # epilogue/prologue; the body is ~7 ms so trace-size cost is negligible
-    (img, _), _ = jax.lax.scan(step, (img, key), per_step, unroll=2)
+    (img, _), inter = jax.lax.scan(step, (img, key), per_step, unroll=2)
+    if return_pred_x0:
+        return img, inter
     return img
 
 

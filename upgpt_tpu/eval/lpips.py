@@ -71,6 +71,22 @@ class LPIPS(nn.Module):
         return total
 
 
+def load_lpips_fn(path: str):
+    """Weights file (torch `lpips.LPIPS(net='vgg')` state_dict, or an .npz
+    of the same keys) -> jitted `(a, b) -> (B,)` LPIPS callable for
+    `evaluate_dirs(lpips_fn=...)` / the weight-drop runbook."""
+    if str(path).endswith(".npz"):
+        sd = dict(np.load(path))
+    else:
+        import torch
+
+        sd = torch.load(path, map_location="cpu")
+        sd = sd.get("state_dict", sd)
+    params = convert_lpips_weights(sd)
+    mod = LPIPS()
+    return jax.jit(lambda a, b: mod.apply({"params": params}, a, b))
+
+
 def convert_lpips_weights(lpips_state_dict: Mapping[str, "np.ndarray"]) -> Dict:
     """lpips-package state_dict (net.slice*/lin*) -> LPIPS flax params.
 

@@ -180,6 +180,68 @@ class GenerationPipeline:
         """Returns decoded images in [-1, 1] NHWC (or latents if decode=False)."""
         return self._sample(params, batch, key, shared_x_T=shared_x_T)
 
+    def generate_progressive(
+        self,
+        params: Dict[str, Any],
+        batch: Dict[str, jax.Array],
+        key: jax.Array,
+        n_frames: int = 6,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """(final images, progression) — the reference's denoise-row debug
+        surface (ddpm.py:1395-1431 progressive_denoising / log_every_t
+        intermediates): `progression` is (B, n_frames, H, W, C) of decoded
+        intermediate x0 predictions, evenly spaced down the reverse
+        process, final frame = the final x0 prediction. DDIM only (the
+        reference's progressive rows are DDIM's too); one jitted program,
+        intermediates stay latent-rate inside the scan and only n_frames
+        rows are decoded.
+        """
+        if self.sampler != "ddim":
+            raise ValueError("progressive rows are a DDIM debug surface")
+        idx = np.linspace(0, self.num_steps - 1, n_frames).round().astype(int)
+        return self._sample_progressive(params, batch, key, tuple(idx))
+
+    def _sample_progressive(self, params, batch, key, idx):
+        # jit cache keyed on the (static) frame indices
+        if not hasattr(self, "_prog_jit"):
+            self._prog_jit = jax.jit(
+                self._progressive_impl, static_argnames=("idx",))
+        return self._prog_jit(params, batch, key, idx=idx)
+
+    def _progressive_impl(self, params, batch, key, *, idx):
+        model = self.model
+        cfg = model.config
+        context = model.build_context(
+            params, batch["text_emb"], batch.get("style_emb"),
+            batch.get("smpl"))
+        cond = {"c_crossattn": context, "c_concat": batch.get("person_mask")}
+        if cfg.conditioning_key in ("hybrid", "crossattn"):
+            from upgpt_tpu.models.unet import precompute_cross_kv
+
+            cond["cross_kv"] = precompute_cross_kv(
+                params["unet"], context, cfg.unet)
+        b = batch["text_emb"].shape[0]
+        h, w = cfg.latent_size
+        shape = (b, h, w, cfg.latent_channels)
+
+        def eps_model(x, t, c):
+            return model.apply_model(params, x, t, c)
+
+        z, inter = ddim_sample(
+            eps_model, model.schedule, self.ddim, shape, cond, key,
+            guidance_scale=self.guidance_scale, return_pred_x0=True)
+        frames = jnp.stack([inter[i] for i in idx], axis=1)  # (B, F, h, w, C)
+        out = []
+        for f in range(len(idx)):
+            img = model.decode_first_stage(params, frames[:, f])
+            out.append(jnp.clip(img, -1.0, 1.0))
+        prog = jnp.stack(out, axis=1)
+        final = jnp.clip(model.decode_first_stage(params, z), -1.0, 1.0)
+        if self.output_uint8:
+            to8 = lambda x: jnp.round((x + 1.0) * 127.5).astype(jnp.uint8)
+            return to8(final), to8(prog)
+        return final, prog
+
 
 # ---------------- style mixing ----------------
 

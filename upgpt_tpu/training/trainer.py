@@ -158,6 +158,9 @@ class TrainerConfig:
     # reference main.py:707-723; default off there too)
     ckpt_every_steps: Optional[int] = None
     image_log_ddim_steps: int = 20
+    # progressive denoise rows (reference ddpm.py:1395-1431): frames per
+    # sample in the `progressive_*.png` grid; 0 disables the extra decode
+    image_log_progressive_frames: int = 6
     logdir: str = "logs/run"
     seed: int = 42
     warm_up_steps: int = 1
@@ -451,16 +454,39 @@ class Trainer:
         pipe = GenerationPipeline(
             self.model, num_steps=self.config.image_log_ddim_steps, eta=1.0
         )
-        imgs = pipe.generate(params, gen_batch, jax.random.PRNGKey(step))
+        n_prog = self.config.image_log_progressive_frames
+        prog = None
+        if n_prog > 0:
+            # denoise-row progression (reference progressive_denoising /
+            # log_every_t rows, ddpm.py:1395-1431): intermediate x0
+            # predictions decoded at n_prog evenly-spaced steps, one row
+            # per sample. Shares the sampling program family; collective-
+            # safe for the same reason the main sample call is.
+            imgs, prog = pipe.generate_progressive(
+                params, gen_batch, jax.random.PRNGKey(step),
+                n_frames=n_prog)
+        else:
+            imgs = pipe.generate(params, gen_batch, jax.random.PRNGKey(step))
         if jax.process_count() > 1:
             # resharding to fully-replicated is itself a collective; after
             # it every host can read the pixels (process 0 writes them)
             imgs = jax.device_put(imgs, replicated_sharding(self.mesh))
+            if prog is not None:
+                prog = jax.device_put(prog, replicated_sharding(self.mesh))
         imgs = np.asarray(jax.device_get(imgs))
+        if prog is not None:
+            prog = np.asarray(jax.device_get(prog))
         if not self._primary:
             return
         self._save_grid(imgs, self.logdir / "images" / f"samples_{step:08d}.png",
                         tag="samples", step=step)
+        if prog is not None:
+            # one row per sample: frames left->right down the reverse process
+            b, f, hh, ww, cc = prog.shape
+            rows = prog.transpose(0, 2, 1, 3, 4).reshape(b, hh, f * ww, cc)
+            self._save_grid(
+                rows, self.logdir / "images" / f"progressive_{step:08d}.png",
+                nrow=1, tag="progressive", step=step)
         for key in ("src_image", "smpl_image"):
             if key in strips:
                 self._save_grid(
