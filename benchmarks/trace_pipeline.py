@@ -68,17 +68,36 @@ def main():
     from upgpt_tpu.models.vae import AutoencoderConfig
     from upgpt_tpu.utils.diagnostics import cast_floating
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 50
-    outdir = sys.argv[3] if len(sys.argv) > 3 else "/tmp/trace_pipe"
+    argv = sys.argv[1:]
+    variant = "interp_256"
+    if argv and not argv[0].isdigit():  # optional leading variant name
+        variant = argv.pop(0)
+    batch = int(argv[0]) if argv else (8 if variant != "interp_256" else 32)
+    steps = int(argv[1]) if len(argv) > 1 else 50
+    outdir = argv[2] if len(argv) > 2 else f"/tmp/trace_pipe_{variant}"
 
     dtype = jnp.bfloat16
-    cfg = LatentDiffusionConfig.interp_256(
-        unet=UNetConfig.interp_256(dtype=dtype,
-                                   use_fused_transformer=True),
-        vae=AutoencoderConfig.kl_f8(dtype=dtype, use_flash_attention=True),
-    )
-    model = LatentDiffusion(cfg)
+    if variant == "interp_256":
+        cfg = LatentDiffusionConfig.interp_256(
+            unet=UNetConfig.interp_256(dtype=dtype,
+                                       use_fused_transformer=True),
+            vae=AutoencoderConfig.kl_f8(dtype=dtype,
+                                        use_flash_attention=True),
+        )
+        model = LatentDiffusion(cfg)
+    else:
+        import dataclasses
+
+        from upgpt_tpu import zoo
+
+        m0 = zoo.build_latent_diffusion(variant, dtype="bfloat16",
+                                        use_flash_attention=True)
+        cfg = dataclasses.replace(
+            m0.config,
+            unet=dataclasses.replace(m0.config.unet,
+                                     use_fused_transformer=True),
+        )
+        model = LatentDiffusion(cfg)
     params = jax.jit(model.init_params)(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
     params = cast_floating(params, jnp.bfloat16)
@@ -86,14 +105,15 @@ def main():
 
     rng = np.random.default_rng(0)
     h, w = cfg.latent_size
+    concat_ch = cfg.unet.in_channels - cfg.latent_channels
     eb = {
         "text_emb": jnp.asarray(rng.normal(size=(batch, 77, 768)), jnp.float32),
         "style_emb": jnp.asarray(rng.normal(size=(batch, 9, 768)), jnp.float32),
-        "smpl": jnp.asarray(rng.normal(size=(batch, 1, 85)), jnp.float32),
         "person_mask": jnp.asarray(
-            rng.choice([-1.0, -0.99215686], size=(batch, h, w, 1)), jnp.float32
-        ),
+            rng.normal(size=(batch, h, w, concat_ch)), jnp.float32),
     }
+    if cfg.pose_input_dim:
+        eb["smpl"] = jnp.asarray(rng.normal(size=(batch, 1, 85)), jnp.float32)
     key = jax.random.PRNGKey(42)
     np.asarray(pipe.generate(params, eb, key))  # compile
     import time

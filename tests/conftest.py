@@ -31,3 +31,22 @@ def eight_devices():
     devs = jax.devices()
     assert len(devs) == 8, f"expected 8 virtual devices, got {len(devs)}"
     return devs
+
+
+# ---- constrained-sandbox smoke tier (-m smoke) ----
+# Curated module list rather than per-test marks: these files are numerics/
+# data/host-logic only (no full-geometry compiles, no subprocess pods) and
+# together run in well under 3 minutes on ONE cpu (timed table in README).
+# `slow`-marked tests inside them stay excluded.
+SMOKE_MODULES = {
+    "test_schedule", "test_data", "test_data_verify",
+    "test_transforms_golden", "test_tokenizer", "test_eval",
+    "test_native_decode", "test_diagnostics", "test_bench_retry",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__ if item.module else ""
+        if mod in SMOKE_MODULES and "slow" not in item.keywords:
+            item.add_marker(pytest.mark.smoke)
