@@ -48,10 +48,13 @@ def main():
 
     on_tpu = jax.devices()[0].platform != "cpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    # kernel A/B knobs (default = production train config)
+    _env = lambda k, d: bool(int(os.environ.get(k, str(int(d)))))
     cfg = LatentDiffusionConfig.interp_256(
         unet=UNetConfig.interp_256(
-            dtype=dtype, use_flash_attention=on_tpu,
-            use_fused_groupnorm=on_tpu, use_fused_transformer=on_tpu,
+            dtype=dtype, use_flash_attention=_env("UPGPT_FLASH", on_tpu),
+            use_fused_groupnorm=_env("UPGPT_FUSED_GN", on_tpu),
+            use_fused_transformer=_env("UPGPT_FUSED_TR", on_tpu),
             use_checkpoint=remat,
         ),
         vae=AutoencoderConfig.kl_f8(dtype=dtype, use_flash_attention=on_tpu),

@@ -357,3 +357,28 @@ def test_log_images_writes_sample_and_progressive_grids(tmp_path, loaders):
     prog = sorted((tmp_path / "run" / "images").glob("progressive_*.png"))[0]
     w, h = Image.open(prog).size
     assert w >= 3 * 16  # 3 frames of 16px side by side per row
+
+
+def test_encode_transport_memo_audits_once():
+    """The uint8-exactness audit is per-key-per-config, not per-batch
+    (round-3 advisor: constant host tax at the wrong granularity). The memo
+    caches the first batch's decision and sticks to it — including the
+    lossy (smpl RPM) person_mask staying f32 on later batches without
+    re-running array_equal."""
+    from upgpt_tpu.training.trainer import encode_transport
+
+    rng = np.random.default_rng(0)
+    exact = (rng.integers(0, 256, (2, 8, 8, 3)).astype(np.float32)
+             / 127.5 - 1.0)
+    lossy = rng.normal(size=(2, 4, 4, 1)).astype(np.float32).clip(-1, 1)
+
+    memo = {}
+    out1 = encode_transport({"image": exact, "person_mask": lossy}, memo)
+    assert out1["image"].dtype == np.uint8
+    assert out1["person_mask"].dtype == np.float32
+    assert memo == {"image": True, "person_mask": False}
+
+    # second batch takes the memoized fast path; decisions stick
+    out2 = encode_transport({"image": exact + 0, "person_mask": lossy}, memo)
+    assert out2["image"].dtype == np.uint8
+    assert out2["person_mask"].dtype == np.float32

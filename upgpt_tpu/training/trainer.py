@@ -57,24 +57,37 @@ def decode_transport(batch: Dict) -> Dict:
     return out
 
 
-def encode_transport(batch: Dict) -> Dict:
-    """Host-side half of compact transport (see decode_transport)."""
+def encode_transport(batch: Dict, memo: Optional[Dict[str, bool]] = None) -> Dict:
+    """Host-side half of compact transport (see decode_transport).
+
+    Whether a float tensor may ship as uint8 is DATA-INVARIANT per key for
+    a given dataset config: images are always uint8-sourced (exact), and
+    person_mask is exact except in the 'smpl' RPM mode, whose bilinear
+    channel-mean is continuous — quantizing that would shift training
+    numerics. Pass a `memo` dict (one per loader/trainer) and the
+    full-array exactness audit runs ONCE per key; later batches reuse the
+    decision instead of paying a per-batch np.array_equal round-trip.
+    With memo=None every call audits (the safe stateless default).
+    """
     import ml_dtypes
 
     out = {}
     for k, v in batch.items():
         v = np.asarray(v)
         if k in ("image", "person_mask") and v.dtype == np.float32:
+            if memo is not None and memo.get(k) is False:
+                out[k] = v  # known-lossy key (smpl RPM): ship f32
+                continue
             q = np.round(
                 np.clip((v + 1.0) * 127.5, 0.0, 255.0)).astype(np.uint8)
-            # images are always uint8-sourced, but the 'smpl' RPM mode
-            # produces a CONTINUOUS person_mask (bilinear mean of the
-            # render) — quantizing that would shift training numerics, so
-            # ship any lossy tensor in f32 unchanged
-            if np.array_equal(q.astype(np.float32) / 127.5 - 1.0, v):
-                out[k] = q
-            else:
-                out[k] = v
+            if memo is not None and memo.get(k) is True:
+                out[k] = q  # known-exact key: skip the audit
+                continue
+            exact = bool(
+                np.array_equal(q.astype(np.float32) / 127.5 - 1.0, v))
+            if memo is not None:
+                memo[k] = exact
+            out[k] = q if exact else v
         elif k.endswith("_emb") and v.dtype == np.float32:
             out[k] = v.astype(ml_dtypes.bfloat16)
         else:
@@ -543,7 +556,11 @@ class Trainer:
         batch = self.cond_encoder.encode_batch(raw)
         batch = {k: v for k, v in batch.items() if k in self._KEEP}
         if self.config.compact_transport:
-            batch = encode_transport(batch)
+            # per-trainer memo: the uint8-exactness audit runs once per key
+            # (the property is dataset-config-invariant), not per batch
+            if not hasattr(self, "_transport_memo"):
+                self._transport_memo = {}
+            batch = encode_transport(batch, self._transport_memo)
         return batch
 
     def _device_batch(self, raw: Dict) -> Dict:
