@@ -8,8 +8,10 @@ point: images/sec for the SAME perceptual quality, i.e. effective serving
 throughput beyond the DDIM-50 protocol number.
 
 Usage: python benchmarks/bench_dpmpp.py [batch] [steps] [sampler]
-sampler: dpm++ (default) or unipc — UniPC-2's corrector holds quality to
-~10 steps, halving serving cost again (diffusion/unipc.py).
+sampler: dpm++ (default) or unipc — UniPC-2's corrector costs zero extra
+model evals; measured quality at 10 steps equals DPM++-10 (the full
+sampler-quality table is in docs/PERF.md round 4). At <=10 steps use
+batch 64: per-image device time is flat 32->64 and dispatch amortizes.
 """
 
 import os

@@ -7,9 +7,13 @@ UniPC (Zhao et al. 2023, arXiv:2302.04867 — the public formulation used by
 diffusers' UniPCMultistepScheduler) upgrades a p-order multistep predictor
 with a (p+1)-order corrector at ZERO extra model evals: the model output
 computed at the freshly predicted point — which the next predictor step
-needs anyway — also corrects that point before it becomes the state. In
-practice UniPC-2 at ~10 steps matches DPM++(2M) at ~20 on VP diffusion
-models, halving serving cost again at unchanged quality.
+needs anyway — also corrects that point before it becomes the state.
+Measured on this model family (benchmarks/sampler_quality.py, full
+geometry, docs/PERF.md round 4): UniPC-10 agrees with the DDIM-200
+trajectory as closely as DPM++-10 (0.9865 MS-SSIM; DPM++-20: 0.9936) —
+i.e. 10-step sampling at zero corrector cost, not a free ride to 20-step
+quality on this (overfit-model) protocol; the real-weights FID comparison
+is the bringup runbook's eval stage.
 
 TPU shape (same discipline as dpm_solver.py): every per-step solver
 coefficient is precomputed host-side in float64 over the reference's
