@@ -534,7 +534,8 @@ def _build_serving(cfg, args):
         label += f" dp{mesh.shape['data']}"
     engine = ServingEngine(
         pipe, params, batch_size=args.batch, max_delay_s=args.max_delay,
-        base_seed=args.seed, mesh=mesh)
+        base_seed=args.seed, mesh=mesh,
+        max_in_flight=getattr(args, "in_flight", 2))
     builder = RequestBuilder(
         enc, mask_hw=tuple(model.config.latent_size),
         context_dim=model.config.context_dim,
@@ -671,6 +672,11 @@ def main(argv=None):
             sp.add_argument("--max-delay", type=float, default=0.25,
                             help="batching window (s): tail latency traded "
                                  "for batch occupancy")
+            sp.add_argument("--in-flight", type=int, default=2,
+                            help="dispatched-but-unfenced batch depth; 2 "
+                                 "overlaps host dispatch with device "
+                                 "compute (essential at <=10-step "
+                                 "samplers), 1 = round-3 behavior")
             sp.add_argument("--dp", type=int, default=1,
                             help="data-parallel serving over N devices: one "
                                  "replicated program, batches sharded over "
