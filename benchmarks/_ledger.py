@@ -7,9 +7,20 @@ import os
 import time
 
 
+def _clean(v):
+    # strict-JSON ledger: non-finite floats (e.g. ms_ssim on geometries too
+    # small for 5-scale decomposition) become null, not bare NaN tokens
+    import math
+
+    if isinstance(v, float) and not math.isfinite(v):
+        return None
+    return v
+
+
 def record(metric: str, value: float, unit: str, **extra) -> None:
     row = {"metric": metric, "value": round(float(value), 3), "unit": unit,
-           "ts": time.strftime("%Y-%m-%dT%H:%M:%S"), **extra}
+           "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+           **{k: _clean(v) for k, v in extra.items()}}
     try:
         import jax
 

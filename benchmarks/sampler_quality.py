@@ -36,14 +36,19 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SAMPLERS = [
-    # (label, sampler, steps)
-    ("ddim50", "ddim", 50),
-    ("dpmpp20", "dpm++", 20),
-    ("dpmpp10", "dpm++", 10),
-    ("unipc10", "unipc", 10),
-    ("unipc5", "unipc", 5),
+    # (label, sampler, steps, t-grid)
+    ("ddim50", "ddim", 50, "uniform"),
+    ("dpmpp20", "dpm++", 20, "uniform"),
+    ("dpmpp10", "dpm++", 10, "uniform"),
+    ("unipc10", "unipc", 10, "uniform"),
+    ("unipc5", "unipc", 5, "uniform"),
+    # beyond-parity karras grid (schedule.make_karras_timesteps): the
+    # low-step spacing lever — measured against the same DDIM-200 reference
+    ("dpmpp10k", "dpm++", 10, "karras"),
+    ("unipc10k", "unipc", 10, "karras"),
+    ("unipc5k", "unipc", 5, "karras"),
 ]
-REF = ("ddim200", "ddim", 200)
+REF = ("ddim200", "ddim", 200, "uniform")
 
 
 def build_model(tiny: bool, on_tpu: bool):
@@ -181,9 +186,10 @@ def main():
     w_img = cfg.latent_size[1] * 2 ** (len(cfg.vae.ch_mult) - 1)
     crop = (min(256, h_img), min(176, w_img))
 
-    def run(label, sampler, steps):
+    def run(label, sampler, steps, method):
         pipe = GenerationPipeline(model, num_steps=steps, eta=0.0,
-                                  sampler=sampler, output_uint8=True)
+                                  sampler=sampler, output_uint8=True,
+                                  schedule_method=method)
         t0 = time.perf_counter()
         out = np.asarray(pipe.generate(params, eb, gen_key))
         print(f"  {label}: sampled in {time.perf_counter()-t0:.1f}s",
@@ -204,8 +210,8 @@ def main():
     print(f"{'sampler':>10s} {'ssim':>7s} {'ms_ssim':>8s}"
           + (f" {'lpips':>7s}" if lpips_fn else ""))
     results = {}
-    for label, sampler, steps in SAMPLERS:
-        imgs = run(label, sampler, steps)
+    for label, sampler, steps, method in SAMPLERS:
+        imgs = run(label, sampler, steps, method)
         rdir = os.path.join(work, label)
         save_dir(os.path.join(rdir, "samples"), imgs)
         save_dir(os.path.join(rdir, "gt"), ref_imgs)
@@ -227,7 +233,7 @@ def main():
     gate = ("ms_ssim" if np.isfinite(results["ddim50"]["ms_ssim"])
             else "ssim")
     base = results["ddim50"][gate]
-    for fast in ("dpmpp20", "unipc10"):
+    for fast in ("dpmpp20", "unipc10", "dpmpp10k", "unipc10k"):
         ok = results[fast][gate] >= base - 0.005
         print(f"{fast} vs ddim50 quality gate ({gate}): "
               f"{'PASS' if ok else 'FAIL'} "

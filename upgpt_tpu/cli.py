@@ -233,6 +233,8 @@ def cmd_sample(cfg, args):
         eta=samp.get("eta", 1.0),
         guidance_scale=samp.get("guidance_scale", 1.0),
         sampler=getattr(args, "sampler", None) or samp.get("sampler", "ddim"),
+        schedule_method=getattr(args, "schedule", None)
+        or samp.get("schedule", "uniform"),
     )
     loaders = _loaders(cfg, args.batch)
     loader = loaders.get("test") or loaders.get("validation") or loaders["train"]
@@ -270,6 +272,8 @@ def cmd_test(cfg, args):
         model, num_steps=args.steps or samp.get("ddim_steps", 200),
         eta=samp.get("eta", 1.0),
         sampler=getattr(args, "sampler", None) or samp.get("sampler", "ddim"),
+        schedule_method=getattr(args, "schedule", None)
+        or samp.get("schedule", "uniform"),
     )
     # per-variant eval crop: 256x176 for the 256px models, 512x352 for the
     # 512 stages (reference model params crop_size, e.g. mm_512/config.yaml:15)
@@ -504,6 +508,8 @@ def _build_serving(cfg, args):
     samp = cfg.get("sampling") or {}
     steps = args.steps or samp.get("ddim_steps", 50)
     sampler = args.sampler or samp.get("sampler", "ddim")
+    sched_method = (getattr(args, "schedule", None)
+                    or samp.get("schedule", "uniform"))
     if args.upscale_base:
         # chained 256->512: one submit -> 512px result through both stages
         from upgpt_tpu.inference.pipeline import ChainedUpscalePipeline
@@ -517,7 +523,8 @@ def _build_serving(cfg, args):
             up_model = _xla_path_model(up_model)
         pipe = ChainedUpscalePipeline(
             model, up_model, num_steps=steps, eta=samp.get("eta", 1.0),
-            sampler=sampler, output_uint8=True)
+            sampler=sampler, output_uint8=True,
+            schedule_method=sched_method)
         params = {"base": params, "up": up_params}
         label = f"chained {sampler}-{steps}"
     else:
@@ -528,6 +535,7 @@ def _build_serving(cfg, args):
             guidance_scale=samp.get("guidance_scale", 1.0),
             sampler=sampler,
             output_uint8=True,
+            schedule_method=sched_method,
         )
         label = f"{sampler}-{steps}"
     if mesh is not None:
@@ -651,6 +659,11 @@ def main(argv=None):
                                  "(DPM-Solver++(2M): comparable quality in "
                                  "~2.5x fewer steps, e.g. --steps 20) or "
                                  "unipc (UniPC-2: ~10 steps)")
+            sp.add_argument("--schedule", default=None,
+                            choices=("uniform", "quad", "karras"),
+                            help="t-grid: uniform/quad (reference grids) or "
+                                 "karras (low-step spacing for the ODE "
+                                 "solvers; concentrates steps at low noise)")
             sp.add_argument("--tp", type=int, default=1,
                             help="tensor-parallel degree: shard the U-Net's "
                                  "transformer matmuls over a (data x model) "
@@ -683,6 +696,8 @@ def main(argv=None):
                                  "the mesh data axis (batch must divide)")
             sp.add_argument("--sampler", default=None,
                             choices=("ddim", "dpm++", "unipc"))
+            sp.add_argument("--schedule", default=None,
+                            choices=("uniform", "quad", "karras"))
             sp.add_argument("--upscale-base", nargs="*", default=None,
                             help="upscale-stage config: serve the chained "
                                  "256->512 pipeline (one submit per 512px "

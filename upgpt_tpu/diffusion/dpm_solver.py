@@ -38,7 +38,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from upgpt_tpu.diffusion.ddim import EpsModel, cfg_eps_model
-from upgpt_tpu.diffusion.schedule import DiffusionSchedule, make_ddim_timesteps
+from upgpt_tpu.diffusion.schedule import (
+    DiffusionSchedule, make_ddim_timesteps, make_karras_timesteps,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -61,8 +63,13 @@ def make_dpm_solver_schedule(
     num_steps: int,
     method: str = "uniform",
 ) -> DPMSolverSchedule:
-    """Solver tables over the reference's DDIM t-grid (util.py:63-74)."""
-    ts = make_ddim_timesteps(method, num_steps, schedule.num_timesteps)
+    """Solver tables over the reference's DDIM t-grid (util.py:63-74), or
+    the beyond-parity "karras" low-step grid — the table math is
+    grid-generic (any ascending subset of trained timesteps)."""
+    if method == "karras":
+        ts = make_karras_timesteps(schedule, num_steps)
+    else:
+        ts = make_ddim_timesteps(method, num_steps, schedule.num_timesteps)
     acp = schedule.alphas_cumprod.astype(np.float64)
     a_cur = acp[ts]
     # same current/next pairing as make_ddim_schedule's alphas/alphas_prev

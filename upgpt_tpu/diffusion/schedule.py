@@ -160,6 +160,43 @@ def make_ddim_timesteps(
     return steps_out
 
 
+def make_karras_timesteps(
+    schedule: "DiffusionSchedule", num_steps: int, rho: float = 7.0
+) -> np.ndarray:
+    """Karras et al. 2022 sigma spacing (arXiv:2206.00364 eq. 5), quantized
+    to the trained discrete t-grid.
+
+    Beyond-parity: the reference grids are uniform/quad only (reference
+    diffusionmodules/util.py:46-60). The VP schedule is read as VE sigmas
+    sigma(t) = sqrt((1-acp_t)/acp_t); the rho-warped grid concentrates
+    steps at LOW noise, where the probability-flow ODE's curvature lives —
+    which is exactly where 2nd-order solvers lose accuracy on the uniform
+    grid at <=10 steps. Each continuous Karras sigma is mapped back to the
+    nearest trained integer t by log-sigma interpolation (the k-diffusion
+    "quantize to the model's discrete sigmas" convention), so converted
+    checkpoints are evaluated only at timesteps they trained on.
+
+    Returns ascending unique int timesteps within [1, T-1]; t=0 is excluded
+    to match the reference's +1-shifted uniform grid (a t=0 model eval
+    would make the final transition onto acp[0] a no-op). Rounding
+    collisions (possible at very high step counts) dedupe to fewer steps.
+    """
+    acp = schedule.alphas_cumprod.astype(np.float64)
+    sigmas = np.sqrt((1.0 - acp) / acp)  # ascending in t
+    log_s = np.log(sigmas)
+    s_lo, s_hi = sigmas[1], sigmas[-1]
+    if num_steps == 1:
+        grid = np.asarray([s_hi], dtype=np.float64)
+    else:
+        i = np.arange(num_steps, dtype=np.float64)
+        inv = 1.0 / rho
+        grid = (
+            s_hi**inv + i / (num_steps - 1) * (s_lo**inv - s_hi**inv)
+        ) ** rho  # descending sigma, sigma_max -> sigma(t=1)
+    t_cont = np.interp(np.log(grid), log_s, np.arange(len(sigmas), dtype=np.float64))
+    return np.unique(np.clip(np.round(t_cont), 1, len(sigmas) - 1)).astype(np.int64)
+
+
 @dataclasses.dataclass(frozen=True)
 class DDIMSchedule:
     """Per-step DDIM tables, ordered by sampling *step* (reverse time).
@@ -186,8 +223,16 @@ def make_ddim_schedule(
     eta: float = 0.0,
     method: str = "uniform",
 ) -> DDIMSchedule:
-    """DDIM tables (reference util.py:63-74, ddim.py:25-54), reverse ordered."""
-    ts = make_ddim_timesteps(method, num_steps, schedule.num_timesteps)
+    """DDIM tables (reference util.py:63-74, ddim.py:25-54), reverse ordered.
+
+    method: "uniform"/"quad" (reference grids) or "karras" (beyond-parity
+    low-step spacing, `make_karras_timesteps`) — the table math is
+    grid-generic.
+    """
+    if method == "karras":
+        ts = make_karras_timesteps(schedule, num_steps)
+    else:
+        ts = make_ddim_timesteps(method, num_steps, schedule.num_timesteps)
     acp = schedule.alphas_cumprod.astype(np.float64)
     alphas = acp[ts]
     alphas_prev = np.asarray([acp[0]] + acp[ts[:-1]].tolist())

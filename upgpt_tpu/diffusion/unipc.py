@@ -52,7 +52,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from upgpt_tpu.diffusion.ddim import EpsModel, cfg_eps_model
-from upgpt_tpu.diffusion.schedule import DiffusionSchedule, make_ddim_timesteps
+from upgpt_tpu.diffusion.schedule import (
+    DiffusionSchedule, make_ddim_timesteps, make_karras_timesteps,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -84,8 +86,12 @@ def make_unipc_schedule(
     num_steps: int,
     method: str = "uniform",
 ) -> UniPCSchedule:
-    """Order-2 bh2 UniPC tables over the reference DDIM t-grid."""
-    ts = make_ddim_timesteps(method, num_steps, schedule.num_timesteps)
+    """Order-2 bh2 UniPC tables over the reference DDIM t-grid, or the
+    beyond-parity "karras" low-step grid (grid-generic table math)."""
+    if method == "karras":
+        ts = make_karras_timesteps(schedule, num_steps)
+    else:
+        ts = make_ddim_timesteps(method, num_steps, schedule.num_timesteps)
     acp = schedule.alphas_cumprod.astype(np.float64)
     a_cur = acp[ts]
     a_next = np.asarray([acp[0]] + acp[ts[:-1]].tolist())

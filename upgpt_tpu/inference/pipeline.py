@@ -56,6 +56,7 @@ class GenerationPipeline:
         decode: bool = True,
         output_uint8: bool = False,
         sampler: str = "ddim",
+        schedule_method: str = "uniform",
     ):
         self.model = model
         self.num_steps = num_steps
@@ -71,16 +72,24 @@ class GenerationPipeline:
         # top, usable at ~10 steps); the ODE solvers ignore eta
         if sampler not in ("ddim", "dpm++", "unipc"):
             raise ValueError(f"unknown sampler {sampler!r}")
+        # t-grid: "uniform"/"quad" (reference grids) or "karras"
+        # (beyond-parity low-step spacing, schedule.make_karras_timesteps)
+        if schedule_method not in ("uniform", "quad", "karras"):
+            raise ValueError(f"unknown schedule_method {schedule_method!r}")
         self.sampler = sampler
+        self.schedule_method = schedule_method
         if sampler == "dpm++":
             from upgpt_tpu.diffusion.dpm_solver import make_dpm_solver_schedule
 
-            self.dpm = make_dpm_solver_schedule(model.schedule, num_steps)
+            self.dpm = make_dpm_solver_schedule(
+                model.schedule, num_steps, method=schedule_method)
         elif sampler == "unipc":
             from upgpt_tpu.diffusion.unipc import make_unipc_schedule
 
-            self.unipc = make_unipc_schedule(model.schedule, num_steps)
-        self.ddim = make_ddim_schedule(model.schedule, num_steps, eta=eta)
+            self.unipc = make_unipc_schedule(
+                model.schedule, num_steps, method=schedule_method)
+        self.ddim = make_ddim_schedule(
+            model.schedule, num_steps, eta=eta, method=schedule_method)
         self._sample = jax.jit(self._sample_impl, static_argnames=("shared_x_T",))
 
     def _sample_impl(
@@ -198,7 +207,10 @@ class GenerationPipeline:
         """
         if self.sampler != "ddim":
             raise ValueError("progressive rows are a DDIM debug surface")
-        idx = np.linspace(0, self.num_steps - 1, n_frames).round().astype(int)
+        # actual table length, not the requested count (the karras grid can
+        # dedupe to fewer steps after quantization)
+        idx = np.linspace(
+            0, self.ddim.num_steps - 1, n_frames).round().astype(int)
         return self._sample_progressive(params, batch, key, tuple(idx))
 
     def _sample_progressive(self, params, batch, key, idx):
@@ -335,9 +347,11 @@ class UpscalePipeline:
     (app.py:379-409, models/upgpt/upscale/config.yaml)."""
 
     def __init__(self, model: LatentDiffusion, num_steps: int = 200,
-                 eta: float = 1.0, sampler: str = "ddim"):
+                 eta: float = 1.0, sampler: str = "ddim",
+                 schedule_method: str = "uniform"):
         self.inner = GenerationPipeline(
-            model, num_steps=num_steps, eta=eta, sampler=sampler)
+            model, num_steps=num_steps, eta=eta, sampler=sampler,
+            schedule_method=schedule_method)
         # lr concat grid = this stage's latent size (128x96 released;
         # follows the config so tiny CI geometries work too)
         self.lr_hw = model.config.latent_size
@@ -385,14 +399,17 @@ class ChainedUpscalePipeline:
         sampler: str = "ddim",
         output_uint8: bool = False,
         lr_hw: Optional[Tuple[int, int]] = None,
+        schedule_method: str = "uniform",
     ):
         # the intermediate stays float [-1,1] on device; only the final
         # stage honors output_uint8
         self.base = GenerationPipeline(
-            base_model, num_steps=num_steps, eta=eta, sampler=sampler)
+            base_model, num_steps=num_steps, eta=eta, sampler=sampler,
+            schedule_method=schedule_method)
         self.up = GenerationPipeline(
             upscale_model, num_steps=upscale_steps or num_steps, eta=eta,
-            sampler=sampler, output_uint8=output_uint8)
+            sampler=sampler, output_uint8=output_uint8,
+            schedule_method=schedule_method)
         # upscale c_concat grid = the stage's latent size (128x96 released)
         self.lr_hw = lr_hw or upscale_model.config.latent_size
 
