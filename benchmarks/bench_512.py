@@ -89,6 +89,7 @@ def main():
     batch = int(argv[1]) if len(argv) > 1 else 8
     steps = int(argv[2]) if len(argv) > 2 else 50
     sampler = argv[3] if len(argv) > 3 else "ddim"
+    schedule = argv[4] if len(argv) > 4 else "uniform"  # uniform/quad/karras
 
     on_tpu = jax.devices()[0].platform != "cpu"
     model = zoo.build_latent_diffusion(
@@ -116,7 +117,8 @@ def main():
     if on_tpu:
         params = cast_floating(params, jnp.bfloat16)
     pipe = GenerationPipeline(model, num_steps=steps, eta=1.0,
-                              output_uint8=True, sampler=sampler)
+                              output_uint8=True, sampler=sampler,
+                              schedule_method=schedule)
 
     rng = np.random.default_rng(0)
     h, w = model.config.latent_size
@@ -187,7 +189,9 @@ def main():
         mfu = None
     from _ledger import record
 
-    record(f"sample_{variant}_{sampler}{steps}", throughput, "img/s",
+    sched_tag = "" if schedule == "uniform" else f"_{schedule}"
+    record(f"sample_{variant}_{sampler}{steps}{sched_tag}", throughput,
+           "img/s",
            batch=batch, sequential_best_ms=round(best * 1000, 1),
            pipelined_img_per_s=round(pipelined, 2),
            sequential_img_per_s=round(seq_rate, 2),
