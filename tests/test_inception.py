@@ -137,4 +137,33 @@ def test_fid_end_to_end_on_dirs(tmp_path, inception_params):
     # the key names the extractor: a CLIP-FID can't masquerade as protocol FID
     assert "fid_inception" in metrics and np.isfinite(metrics["fid_inception"])
     assert metrics["fid_inception"] >= 0.0
+    # the protocol (inception) extractor ALSO emits the pre-rename 'fid'
+    # compat alias for external metrics.csv consumers (harness.py); only
+    # the inception extractor gets it (test_non_protocol_fid_gets_no_alias)
+    assert metrics["fid"] == metrics["fid_inception"]
+
+
+def test_non_protocol_fid_gets_no_alias(tmp_path):
+    """A non-inception extractor (e.g. CLIP-FID) must NOT claim the bare
+    'fid' key — external consumers keyed on 'fid' get the protocol number
+    or nothing."""
+    from PIL import Image
+
+    from upgpt_tpu.eval.harness import evaluate_dirs
+
+    rng = np.random.default_rng(0)
+    for d in ("samples", "gt"):
+        (tmp_path / d).mkdir()
+    for i in range(3):
+        a = rng.integers(0, 255, (288, 192, 3), np.uint8)
+        Image.fromarray(a).save(tmp_path / "samples" / f"{i}.jpg")
+        Image.fromarray(np.roll(a, 5, axis=0)).save(tmp_path / "gt" / f"{i}.jpg")
+
+    def fake_features(x):
+        return np.asarray(x).reshape(x.shape[0], -1)[:, :16]
+
+    fake_features.fid_name = "clip"
+    metrics = evaluate_dirs(str(tmp_path), crop_hw=(256, 176),
+                            fid_feature_fn=fake_features)
+    assert "fid_clip" in metrics
     assert "fid" not in metrics
