@@ -161,8 +161,9 @@ def main() -> None:
 
     from upgpt_tpu.utils.compile_cache import enable_persistent_cache
 
-    # persistent XLA cache: compile+first-run 196 s cold -> 30 s warm on the
-    # same chip (utils/compile_cache.py); throughput numbers are unaffected
+    # persistent XLA cache for direct-attached hosts; auto-skipped on the
+    # tunneled axon backend where a cache hit costs ~100x the compile
+    # (deserialize RPC; measured round 4, utils/compile_cache.py docstring)
     enable_persistent_cache()
 
     from upgpt_tpu.diffusion.latent_diffusion import (
