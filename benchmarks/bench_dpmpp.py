@@ -41,6 +41,7 @@ def main() -> None:
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     sampler = sys.argv[3] if len(sys.argv) > 3 else "dpm++"
+    schedule = sys.argv[4] if len(sys.argv) > 4 else "uniform"  # or karras
 
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
@@ -62,7 +63,8 @@ def main() -> None:
 
         params = cast_floating(params, jnp.bfloat16)
     pipe = GenerationPipeline(
-        model, num_steps=steps, sampler=sampler, output_uint8=True)
+        model, num_steps=steps, sampler=sampler, output_uint8=True,
+        schedule_method=schedule)
 
     rng = np.random.default_rng(0)
     h, w = cfg.latent_size
@@ -120,6 +122,8 @@ def main() -> None:
     from _ledger import record
 
     tag = "dpmpp" if sampler == "dpm++" else sampler
+    if schedule != "uniform":
+        tag += f"_{schedule}"
     record(f"sample_interp256_{tag}{steps}", imgs_per_sec, "img/s",
            batch=batch, sequential_best_ms=round(best * 1000, 1),
            pipelined_img_per_s=round(pipelined, 2),
