@@ -17,6 +17,13 @@ Tiny-geometry finding (ledger `rho_sweep_tiny`): at 16 px EVERY grid
 scores ~0.999 — the 80-step tiny score field is too smooth to
 discriminate step placement (SSIM even reads 1.0002, numerics). Grid
 design decisions therefore come from --full only.
+
+Full-geometry findings (ledger `rho_sweep_full`, table in docs/PERF.md
+round 4): 5-step quality is MONOTONE in rho and always below uniform
+(rho=2: 0.47 ... rho=7: 0.885 < uniform 0.923) — grid shaping cannot
+rescue 5-step serving. The karras/uniform crossover sits between 6 and
+8 steps (6: uniform 0.9780 > karras 0.9705; 8: karras 0.9960 >> uniform
+0.9682). Serving rule: --schedule karras from 8 steps up.
 """
 
 import os
@@ -92,7 +99,7 @@ def main():
     rows = []
     # full geometry: focused list (the 5-step regression + sanity rows);
     # tiny: the broad sweep (kept for harness rehearsal, known saturated)
-    sweep = (((5, (2.0, 3.0, 5.0, 7.0)), (6, (3.0,)), (10, (7.0,)))
+    sweep = (((6, (7.0,)), (8, (7.0,)))
              if full else
              ((5, (2.0, 3.0, 5.0, 7.0)), (6, (2.0, 3.0, 5.0, 7.0)),
               (8, (2.0, 3.0, 5.0, 7.0)), (10, (2.0, 3.0, 5.0, 7.0))))
