@@ -45,7 +45,11 @@ def enable_persistent_cache(cache_dir: Optional[str] = None) -> str:
     force = os.environ.get("UPGPT_COMPILE_CACHE")
     if force == "0":
         return ""
-    if force != "1" and jax.default_backend() == "axon":
+    # an explicit opt-in — a caller-passed dir or JAX_COMPILATION_CACHE_DIR —
+    # forces the cache on, like the docstring promises; only the implicit
+    # default is subject to the axon skip below
+    explicit = cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if force != "1" and not explicit and jax.default_backend() == "axon":
         # Measured 2026-08-20 (round 4): on the tunneled axon backend a
         # cache HIT costs 194-258 s for a 252 KB executable whose cold
         # compile+run is 1.97 s — the deserialize_executable RPC is ~100x
