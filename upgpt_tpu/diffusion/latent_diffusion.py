@@ -239,6 +239,30 @@ class LatentDiffusion:
             cross_kv=cross_kv, deterministic=deterministic,
         )
 
+    def to_eps(self, model_out: jax.Array, x_t: jax.Array, t: jax.Array) -> jax.Array:
+        """Convert the network output to an eps prediction.
+
+        Every sampler here (DDIM/PLMS/DPM++/UniPC) consumes eps; for a
+        v-parameterized model (distilled students) the conversion is
+        eps_hat = sigma_t*z_t + alpha_t*v_hat (arXiv:2202.00512 appendix D
+        — algebraically exact, so one wrapper makes ALL samplers work with
+        any parameterization). Identity for eps models.
+        """
+        p = self.config.parameterization
+        if p == "eps":
+            return model_out
+        s = self.schedule
+        shape = (-1,) + (1,) * (x_t.ndim - 1)
+        a = jnp.asarray(s.sqrt_alphas_cumprod)[t].reshape(shape)
+        sg = jnp.asarray(s.sqrt_one_minus_alphas_cumprod)[t].reshape(shape)
+        x32 = x_t.astype(jnp.float32)
+        out32 = model_out.astype(jnp.float32)
+        if p == "v":
+            return sg * x32 + a * out32
+        if p == "x0":
+            return (x32 - a * out32) / jnp.maximum(sg, 1e-8)
+        raise NotImplementedError(p)
+
     # ---------------- training loss ----------------
 
     def p_losses(
@@ -259,7 +283,20 @@ class LatentDiffusion:
         model_out = self.apply_model(
             params, x_noisy, t, cond, deterministic=deterministic
         )
-        target = noise if cfg.parameterization == "eps" else z0
+        if cfg.parameterization == "eps":
+            target = noise
+        elif cfg.parameterization == "v":
+            # velocity target v = alpha_t*eps - sigma_t*x0 (arXiv:2202.00512
+            # eq. 10) — the parameterization the few-step distilled students
+            # use; well-conditioned at high t where eps-prediction blows up
+            # the x0 estimate by 1/alpha_t
+            s = self.schedule
+            shape = (-1,) + (1,) * (z0.ndim - 1)
+            a = jnp.asarray(s.sqrt_alphas_cumprod)[t].reshape(shape)
+            sg = jnp.asarray(s.sqrt_one_minus_alphas_cumprod)[t].reshape(shape)
+            target = a * noise - sg * z0
+        else:
+            target = z0
 
         sq = jnp.square(model_out.astype(jnp.float32) - target.astype(jnp.float32))
         if loss_w is not None:

@@ -96,9 +96,14 @@ class DiffusionSchedule:
             1.0 - alphas_cumprod_prev
         ) / (1.0 - alphas_cumprod) + v_posterior * betas
 
-        if parameterization == "eps":
+        if parameterization in ("eps", "v"):
             # posterior_variance[0] == 0 -> inf at index 0, patched below
-            # exactly as the reference does (ddpm.py:169-177).
+            # exactly as the reference does (ddpm.py:169-177). The "v"
+            # branch (velocity prediction, arXiv:2202.00512 §2.4 — used by
+            # the progressive-distillation students, training/distill.py)
+            # reuses the eps weights: every config here trains with
+            # original_elbo_weight=0, so lvlb_weights only gates the unused
+            # ELBO term and the eps weighting is a documented stand-in.
             with np.errstate(divide="ignore"):
                 lvlb_weights = betas**2 / (
                     2 * posterior_variance * alphas * (1 - alphas_cumprod)
@@ -222,14 +227,21 @@ def make_ddim_schedule(
     num_steps: int,
     eta: float = 0.0,
     method: str = "uniform",
+    timesteps: np.ndarray | None = None,
 ) -> DDIMSchedule:
     """DDIM tables (reference util.py:63-74, ddim.py:25-54), reverse ordered.
 
     method: "uniform"/"quad" (reference grids) or "karras" (beyond-parity
     low-step spacing, `make_karras_timesteps`) — the table math is
-    grid-generic.
+    grid-generic. An explicit ascending int `timesteps` array overrides the
+    method entirely (the distilled students sample on their own nested
+    halving grids, training/distill.py).
     """
-    if method == "karras":
+    if timesteps is not None:
+        ts = np.asarray(timesteps, dtype=np.int64)
+        assert ts.ndim == 1 and (np.diff(ts) > 0).all(), "ascending grid required"
+        assert 0 < ts[0] and ts[-1] < schedule.num_timesteps, ts
+    elif method == "karras":
         ts = make_karras_timesteps(schedule, num_steps)
     else:
         ts = make_ddim_timesteps(method, num_steps, schedule.num_timesteps)

@@ -57,6 +57,7 @@ class GenerationPipeline:
         output_uint8: bool = False,
         sampler: str = "ddim",
         schedule_method: str = "uniform",
+        timesteps=None,
     ):
         self.model = model
         self.num_steps = num_steps
@@ -78,6 +79,13 @@ class GenerationPipeline:
             raise ValueError(f"unknown schedule_method {schedule_method!r}")
         self.sampler = sampler
         self.schedule_method = schedule_method
+        # explicit t-grid (ascending ints): the distilled students are only
+        # valid on the exact nested grid they were trained on
+        # (training/distill.py); DDIM is the matching one-eval-per-point
+        # sampler there (a multistep solver adds nothing on a student that
+        # was trained to jump the full sub-interval in one eval)
+        if timesteps is not None and sampler != "ddim":
+            raise ValueError("explicit timesteps require sampler='ddim'")
         if sampler == "dpm++":
             from upgpt_tpu.diffusion.dpm_solver import make_dpm_solver_schedule
 
@@ -89,7 +97,18 @@ class GenerationPipeline:
             self.unipc = make_unipc_schedule(
                 model.schedule, num_steps, method=schedule_method)
         self.ddim = make_ddim_schedule(
-            model.schedule, num_steps, eta=eta, method=schedule_method)
+            model.schedule, num_steps, eta=eta, method=schedule_method,
+            timesteps=timesteps)
+        # actual table length, not the requested count: the karras grid can
+        # dedupe to fewer steps after integer-t quantization, and every
+        # consumer of pipe.num_steps (labels, per-step math) must see what
+        # will actually run
+        if sampler == "dpm++":
+            self.num_steps = self.dpm.num_steps
+        elif sampler == "unipc":
+            self.num_steps = self.unipc.num_steps
+        else:
+            self.num_steps = self.ddim.num_steps
         self._sample = jax.jit(self._sample_impl, static_argnames=("shared_x_T",))
 
     def _sample_impl(
@@ -149,7 +168,9 @@ class GenerationPipeline:
             x_T = jax.random.normal(k_noise, shape)
 
         def eps_model(x, t, c):
-            return model.apply_model(params, x, t, c)
+            # to_eps: v-/x0-parameterized models (distilled students) are
+            # converted to eps so every sampler below works unchanged
+            return model.to_eps(model.apply_model(params, x, t, c), x, t)
 
         if self.sampler == "dpm++":
             from upgpt_tpu.diffusion.dpm_solver import dpm_solver_pp_sample
@@ -237,7 +258,7 @@ class GenerationPipeline:
         shape = (b, h, w, cfg.latent_channels)
 
         def eps_model(x, t, c):
-            return model.apply_model(params, x, t, c)
+            return model.to_eps(model.apply_model(params, x, t, c), x, t)
 
         z, inter = ddim_sample(
             eps_model, model.schedule, self.ddim, shape, cond, key,

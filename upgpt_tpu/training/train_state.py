@@ -81,8 +81,10 @@ def create_train_state(
     use_ema: bool = True,
     ema_decay: float = 0.9999,
     accumulate_grad_batches: int = 1,
+    weight_decay: float = 0.01,
 ) -> TrainState:
-    tx = make_optimizer(learning_rate, scheduler, accumulate_grad_batches)
+    tx = make_optimizer(learning_rate, scheduler, accumulate_grad_batches,
+                        weight_decay=weight_decay)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=trainable_params,
