@@ -1,0 +1,262 @@
+"""Progressive-distillation evidence: few-step students vs the DDIM-50 bar.
+
+The round-4 rho sweep proved t-grid shaping cannot rescue <=6-step sampling
+(docs/PERF.md); this experiment measures whether distillation
+(training/distill.py) can. Protocol (the sampler_quality.py protocol,
+non-overfit regime):
+
+1. Teacher: the full interp_256 geometry trained to a GENERALIZING
+   operating point on the procedural synthetic dataset (data/synthetic.py,
+   held-out split) — or loaded from a `--teacher` checkpoint saved by
+   `sampler_quality.py --synthetic --save-teacher`.
+2. Reference field: teacher DDIM-200 samples on HELD-OUT conditioning from
+   one shared x_T (the fine-grid trajectory, reference app.py:55); the bar
+   is DDIM-50's agreement with it (the released eval protocol's step count,
+   reference ddpm.py:1327-1377).
+3. Ladder: 64 -> 32 -> 16 -> 8 -> 4 (-> 2) v-parameterized students; each
+   rung is sampled on ITS OWN grid through the standard GenerationPipeline
+   and scored against the same DDIM-200 reference (center-crop 256x176
+   SSIM / MS-SSIM, scripts/eval_metrics.py:90-136 protocol).
+4. Throughput: the 4-step (and final) student at batch 64, depth-2
+   pipelined — the serving point the ladder buys.
+
+The claim "student-4 >= DDIM-50 quality bar" is supported when its
+similarity to DDIM-200 >= DDIM-50's. Ledger rows for every rung.
+
+Usage:
+  python benchmarks/distill_eval.py [--teacher DIR] [--train-steps N]
+         [--stage-steps N] [--start 64] [--end 4] [--batch 32] [--tiny]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from upgpt_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    from upgpt_tpu.data.synthetic import SyntheticPairs
+    from upgpt_tpu.eval.harness import evaluate_dirs
+    from upgpt_tpu.inference.pipeline import GenerationPipeline
+    from upgpt_tpu.training.distill import DistillConfig, progressive_distill
+    from upgpt_tpu.training.train_state import create_train_state, train_step
+    from sampler_quality import build_model, save_dir
+    from _ledger import record
+
+    tiny = "--tiny" in sys.argv
+    flags = {a.lstrip("-"): v for a, v in zip(sys.argv[1:], sys.argv[2:])
+             if a.startswith("--") and not v.startswith("--")}
+    train_steps = int(flags.get("train-steps", 120 if tiny else 3000))
+    stage_steps = int(flags.get("stage-steps", 40 if tiny else 1200))
+    start_steps = int(flags.get("start", 8 if tiny else 64))
+    end_steps = int(flags.get("end", 2 if tiny else 4))
+    batch = int(flags.get("batch", 4 if tiny else 32))
+    score_batch = int(flags.get("score-batch", 4 if tiny else 8))
+    lr = float(flags.get("lr", 1e-3 if tiny else 2e-4))
+    adapt_steps = int(flags.get("adapt-steps", 40 if tiny else 400))
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    model = build_model(tiny, on_tpu)
+    cfg = model.config
+
+    train_ds = SyntheticPairs.for_model(cfg, n_samples=384, split="train")
+    val_ds = SyntheticPairs.for_model(cfg, n_samples=384, split="val")
+
+    # ---- teacher ----
+    teacher_path = flags.get("teacher")
+    if teacher_path and os.path.exists(teacher_path):
+        import orbax.checkpoint as ocp
+        from pathlib import Path
+
+        payload = ocp.StandardCheckpointer().restore(
+            Path(teacher_path).absolute())
+        frozen = {"vae": payload.pop("vae")}
+        trainable = {k: v for k, v in payload.items()}
+        print(f"teacher loaded from {teacher_path}", file=sys.stderr)
+    else:
+        params = jax.jit(model.init_params)(jax.random.PRNGKey(0))
+        jax.block_until_ready(params)
+        frozen = {"vae": params.pop("vae")}
+        state = create_train_state(params, learning_rate=1e-4, use_ema=True)
+        it = train_ds.iterator(batch, seed=3)
+        key = jax.random.PRNGKey(1)
+        step_fn = jax.jit(
+            lambda s, bt: train_step(model, s, frozen, bt, key),
+            donate_argnums=0)
+        val_bt = {k: jnp.asarray(v) for k, v in
+                  val_ds.batch(range(min(16, len(val_ds)))).items()}
+        val_fn = jax.jit(lambda p: model.training_loss(
+            p, val_bt, jax.random.PRNGKey(99), frozen_params=frozen)[0])
+        t0 = time.perf_counter()
+        for i in range(train_steps):
+            state, metrics = step_fn(state, next(it))
+            if (i + 1) % max(1, train_steps // 10) == 0:
+                tr = float(np.asarray(metrics["loss_simple"]))
+                vl = float(np.asarray(val_fn(state.params)))
+                print(f"  teacher step {i+1}: train {tr:.4f} val {vl:.4f}",
+                      file=sys.stderr)
+        print(f"teacher: {train_steps} steps in "
+              f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        trainable = jax.device_get(state.params)
+        record("distill_teacher", float(np.asarray(val_fn(state.params))),
+               "val_loss", train_steps=train_steps, batch=batch, tiny=tiny)
+
+    def infer_params(p):
+        full = dict(p)
+        full["vae"] = frozen["vae"]
+        if on_tpu:
+            from upgpt_tpu.utils.diagnostics import cast_floating
+
+            full = cast_floating(full, jnp.bfloat16)
+        return full
+
+    # ---- reference field + the DDIM-50 bar (held-out conditioning) ----
+    eb_src = val_ds.batch(range(score_batch))
+    eb = {k: jnp.asarray(eb_src[k])
+          for k in ("text_emb", "style_emb", "smpl", "person_mask")}
+    gen_key = jax.random.PRNGKey(42)
+    t_infer = infer_params(trainable)
+
+    import tempfile
+
+    work = flags.get("work") or tempfile.mkdtemp(prefix="distill_eval_")
+    f = 2 ** (len(cfg.vae.ch_mult) - 1)
+    crop = (min(256, cfg.latent_size[0] * f), min(176, cfg.latent_size[1] * f))
+
+    def sample(params, label, model_=None, **pipe_kw):
+        pipe = GenerationPipeline(model_ or model, eta=0.0,
+                                  output_uint8=True, **pipe_kw)
+        t0 = time.perf_counter()
+        out = np.asarray(pipe.generate(params, eb, gen_key))
+        print(f"  {label}: sampled in {time.perf_counter()-t0:.1f}s",
+              file=sys.stderr)
+        return out
+
+    ref_imgs = sample(t_infer, "ddim200", num_steps=200)
+
+    def score(label, imgs, extra=None):
+        rdir = os.path.join(work, label)
+        save_dir(os.path.join(rdir, "samples"), imgs)
+        save_dir(os.path.join(rdir, "gt"), ref_imgs)
+        m = evaluate_dirs(rdir, crop_hw=crop)
+        gate = "ms_ssim" if np.isfinite(m["ms_ssim"]) else "ssim"
+        print(f"{label:>12s} ssim {m['ssim']:.4f} ms_ssim {m['ms_ssim']:.4f}")
+        record(f"distill_quality_{label}", m["ssim"], "ssim_vs_ddim200",
+               ms_ssim=round(float(m["ms_ssim"]), 4), tiny=tiny,
+               **(extra or {}))
+        return m[gate]
+
+    bar = score("ddim50", sample(t_infer, "ddim50", num_steps=50))
+    results = {"ddim50": bar}
+
+    # ---- the ladder ----
+    student_cfgs = {}
+
+    def stage_cb(n, grid, s_params):
+        from upgpt_tpu.diffusion.latent_diffusion import LatentDiffusion
+        import dataclasses
+
+        student = LatentDiffusion(
+            dataclasses.replace(cfg, parameterization="v"))
+        imgs = sample(infer_params(s_params), f"student{n}",
+                      model_=student, num_steps=n, timesteps=grid)
+        results[f"student{n}"] = score(
+            f"student{n}", imgs, extra={"steps": n, "stage_steps": stage_steps})
+        student_cfgs[n] = (student, s_params, grid)
+        if flags.get("save-student"):
+            # every rung gets its own checkpoint + grid sidecar, so the
+            # best-quality few-step point (not just the final rung) can be
+            # served via cli sample/serve directly
+            import orbax.checkpoint as ocp
+            import json
+            from pathlib import Path
+
+            path = Path(f"{flags['save-student']}{n}").absolute()
+            payload = {**jax.device_get(s_params),
+                       "vae": jax.device_get(frozen["vae"])}
+            ocp.StandardCheckpointer().save(path, payload, force=True)
+            with open(str(path) + ".distill.json", "w") as fjs:
+                json.dump({"parameterization": "v",
+                           "timesteps": [int(t) for t in grid]}, fjs)
+            print(f"  student{n} saved: {path}", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    student, s_params, grid, hist = progressive_distill(
+        model, trainable, frozen, train_ds.iterator(batch, seed=11),
+        DistillConfig(start_steps=start_steps, end_steps=end_steps,
+                      steps_per_stage=stage_steps, learning_rate=lr,
+                      use_ema=True, ema_decay=0.999,
+                      adapt_steps=adapt_steps),
+        rng=jax.random.PRNGKey(5),
+        log_fn=lambda s: print(s, file=sys.stderr),
+        stage_cb=stage_cb)
+    print(f"ladder: {time.perf_counter()-t0:.1f}s total", file=sys.stderr)
+
+    # ---- gates + throughput ----
+    for n, (student_m, sp, g) in sorted(student_cfgs.items()):
+        ok = results[f"student{n}"] >= bar - 0.005
+        print(f"student{n} vs ddim50 quality gate: "
+              f"{'PASS' if ok else 'FAIL'} "
+              f"({results[f'student{n}']:.4f} vs {bar:.4f})")
+
+    if not tiny and on_tpu:
+        from collections import deque
+
+        q_batch = int(flags.get("bench-batch", 64))
+        eb_big = {k: jnp.concatenate(
+            [v] * -(-q_batch // v.shape[0]), axis=0)[:q_batch]
+            for k, v in eb.items()}
+        key = jax.random.PRNGKey(0)
+        # throughput for every serving-relevant rung (<=8 steps)
+        for n, (student_m, sp, g) in sorted(student_cfgs.items()):
+            if n > 8:
+                continue
+            pipe = GenerationPipeline(student_m, num_steps=n, eta=0.0,
+                                      timesteps=g, output_uint8=True)
+            sp_infer = infer_params(sp)
+            np.asarray(pipe.generate(sp_infer, eb_big, key))  # compile
+            times = []
+            for i in range(8):
+                t0 = time.perf_counter()
+                np.asarray(pipe.generate(sp_infer, eb_big,
+                                         jax.random.fold_in(key, i)))
+                times.append(time.perf_counter() - t0)
+            best = min(times)
+            rates = []
+            for rep in range(5):
+                inflight = deque()
+                t0 = time.perf_counter()
+                for i in range(6):
+                    inflight.append(pipe.generate(
+                        sp_infer, eb_big,
+                        jax.random.fold_in(key, 100 * rep + i)))
+                    if len(inflight) > 2:
+                        np.asarray(inflight.popleft())
+                while inflight:
+                    np.asarray(inflight.popleft())
+                rates.append(6 * q_batch / (time.perf_counter() - t0))
+            rate = max(max(rates), q_batch / best)
+            print(f"student{n} batch={q_batch}: {rate:.1f} img/s "
+                  f"(sequential best {best*1000:.1f} ms)")
+            record(f"sample_interp256_student{n}", rate, "img/s",
+                   batch=q_batch, sequential_best_ms=round(best * 1000, 1),
+                   pipelined_img_per_s=round(max(rates), 2))
+
+    print(f"work dir: {work}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -201,3 +201,30 @@ def test_acceptance_pipeline_dress_rehearsal(tiny_config_file, capsys):
         assert len(os.listdir(f"{out_dir}/{group}")) == 2, group
     assert os.path.exists(f"{out_dir}/metrics.csv")
     assert "fid_inception" in open(f"{out_dir}/metrics.txt").read()
+
+
+def test_cli_distill_then_sample(tiny_config_file):
+    """`cli distill`: one 4->2 halving on the tiny geometry, then `sample`
+    auto-detects the student sidecar (v-param + pinned grid) and decodes."""
+    path, logdir = tiny_config_file
+    if not os.path.exists(f"{logdir}/checkpoints/last"):
+        cli_main(["train", "--debug-encoder", "--base", str(path)])
+    student = f"{logdir}/student"
+    cli_main(["distill", "--base", str(path),
+              "--teacher-ckpt", f"{logdir}/checkpoints/last",
+              "--out", student, "--synthetic",
+              "--start-steps", "4", "--end-steps", "2",
+              "--stage-steps", "3", "--adapt-steps", "2",
+              "--batch", "2", "--lr", "1e-4"])
+    sidecar = json.load(open(f"{student}.distill.json"))
+    assert sidecar["parameterization"] == "v"
+    assert len(sidecar["timesteps"]) == 2
+    # adapt entry (eps->v fit) + one halving stage
+    assert [h["steps"] for h in sidecar["history"]] == [4, 2]
+    assert sidecar["history"][0].get("adapt") is True
+
+    out_dir = f"{logdir}/distill_samples"
+    cli_main(["sample", "--debug-encoder", "--base", str(path),
+              "--ckpt", student, "--out", out_dir, "--batch", "2"])
+    files = os.listdir(out_dir)
+    assert len(files) == 2, files

@@ -194,11 +194,14 @@ def test_progressive_ladder_end_to_end():
     student, s_params, grid, hist = progressive_distill(
         model, trainable, frozen, data.iterator(4, as_jnp=True),
         DistillConfig(start_steps=8, end_steps=2, steps_per_stage=20,
-                      learning_rate=1e-3, use_ema=True, ema_decay=0.95),
+                      learning_rate=1e-3, use_ema=True, ema_decay=0.95,
+                      adapt_steps=5),
         rng=jax.random.PRNGKey(5))
     assert student.config.parameterization == "v"
     assert len(grid) == 2
-    assert [h["steps"] for h in hist] == [4, 2]
+    # adapt entry (steps=start grid) + the two halving stages
+    assert [h["steps"] for h in hist] == [8, 4, 2]
+    assert hist[0].get("adapt") is True
     assert all(np.isfinite(h["loss"]) for h in hist)
 
     pipe = GenerationPipeline(student, num_steps=2, eta=0.0,

@@ -221,21 +221,29 @@ def cmd_sample(cfg, args):
 
     model = instantiate_from_config(cfg["model"])
     params = _restore_params(model, args.ckpt)
+    model, distill_ts = _distill_sidecar(model, args.ckpt)
     enc = _build_cond_encoder(
         cfg, model, allow_debug=getattr(args, "debug_encoder", False)
     )
     model, params, put_batch = _tp_shard(
         model, params, getattr(args, "tp", 1), batch_size=args.batch)
     samp = cfg.get("sampling") or {}
-    pipe = GenerationPipeline(
-        model,
-        num_steps=args.steps or samp.get("ddim_steps", 200),
-        eta=samp.get("eta", 1.0),
-        guidance_scale=samp.get("guidance_scale", 1.0),
-        sampler=getattr(args, "sampler", None) or samp.get("sampler", "ddim"),
-        schedule_method=getattr(args, "schedule", None)
-        or samp.get("schedule", "uniform"),
-    )
+    if distill_ts is not None:
+        # distilled student: its grid IS the sampler (eta-0 DDIM on the
+        # exact trained t-points); --steps/--sampler flags don't apply
+        pipe = GenerationPipeline(
+            model, num_steps=len(distill_ts), eta=0.0,
+            timesteps=distill_ts)
+    else:
+        pipe = GenerationPipeline(
+            model,
+            num_steps=args.steps or samp.get("ddim_steps", 200),
+            eta=samp.get("eta", 1.0),
+            guidance_scale=samp.get("guidance_scale", 1.0),
+            sampler=getattr(args, "sampler", None) or samp.get("sampler", "ddim"),
+            schedule_method=getattr(args, "schedule", None)
+            or samp.get("schedule", "uniform"),
+        )
     loaders = _loaders(cfg, args.batch)
     loader = loaders.get("test") or loaders.get("validation") or loaders["train"]
     out_dir = Path(args.out)
@@ -456,6 +464,98 @@ def cmd_convert(cfg, args):
     print(f"converted {sorted(out)} -> {args.out}")
 
 
+def _distill_sidecar(model, ckpt_path):
+    """(model, timesteps|None) honoring a distilled-student sidecar.
+
+    `cli distill` writes `<ckpt>.distill.json` next to the checkpoint with
+    the student's parameterization and its nested t-grid
+    (training/distill.py) — a student is only valid on the exact grid it
+    was trained on, so sample/serve must rebuild the model (v-param) and
+    pin the grid instead of trusting --steps/--sampler."""
+    sidecar = Path(str(Path(ckpt_path).absolute()) + ".distill.json")
+    if not sidecar.exists():
+        return model, None
+    import dataclasses
+
+    import numpy as np
+
+    from upgpt_tpu.diffusion.latent_diffusion import LatentDiffusion
+
+    meta = json.loads(sidecar.read_text())
+    model = LatentDiffusion(dataclasses.replace(
+        model.config, parameterization=meta["parameterization"]))
+    ts = np.asarray(meta["timesteps"], dtype=np.int64)
+    print(f"distilled student: {meta['parameterization']}-param, "
+          f"{len(ts)}-step grid {ts.tolist()}", file=sys.stderr)
+    return model, ts
+
+
+def cmd_distill(cfg, args):
+    """Progressive distillation (training/distill.py): halve a trained
+    teacher's sampling steps repeatedly (64 -> ... -> 4) and save the
+    few-step v-parameterized student + its grid sidecar, ready for
+    `cli sample`/`cli serve`. No reference counterpart (it serves DDIM-200,
+    app.py:55) — this is the post-rho-sweep serving lever."""
+    import dataclasses
+
+    import jax
+
+    from upgpt_tpu.training.distill import DistillConfig, progressive_distill
+
+    model = instantiate_from_config(cfg["model"])
+    all_params = _restore_params(model, args.teacher_ckpt)
+    frozen = {"vae": all_params.pop("vae")}
+
+    if args.synthetic:
+        from upgpt_tpu.data.synthetic import SyntheticPairs
+
+        ds = SyntheticPairs.for_model(model.config, n_samples=384,
+                                      split="train")
+        data_iter = ds.iterator(args.batch, seed=3)
+    else:
+        import itertools
+
+        import jax.numpy as jnp
+
+        enc = _build_cond_encoder(
+            cfg, model, allow_debug=getattr(args, "debug_encoder", False))
+        loaders = _loaders(cfg, args.batch)
+
+        def gen():
+            for epoch in itertools.count():
+                for raw in loaders["train"].epoch(epoch):
+                    bt = enc.encode_batch(raw)
+                    yield {k: jnp.asarray(v) for k, v in bt.items()
+                           if not isinstance(v, list)}
+
+        data_iter = gen()
+
+    dcfg = DistillConfig(
+        start_steps=args.start_steps, end_steps=args.end_steps,
+        steps_per_stage=args.stage_steps, learning_rate=args.lr,
+        grid_method=args.grid, use_ema=True, ema_decay=args.ema_decay,
+        adapt_steps=args.adapt_steps)
+    student, s_params, grid, hist = progressive_distill(
+        model, all_params, frozen, data_iter, dcfg,
+        rng=jax.random.PRNGKey(args.seed),
+        log_fn=lambda s: print(s, file=sys.stderr, flush=True))
+
+    import orbax.checkpoint as ocp
+
+    out = Path(args.out).absolute()
+    payload = {**jax.device_get(s_params), "vae": jax.device_get(frozen["vae"])}
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(out, payload, force=True)
+    ckptr.wait_until_finished()
+    with open(str(out) + ".distill.json", "w") as f:
+        json.dump({"parameterization": student.config.parameterization,
+                   "timesteps": [int(t) for t in grid],
+                   "history": hist}, f, indent=2)
+    print(json.dumps({"out": str(out), "steps": len(grid),
+                      "stages": [h["steps"] for h in hist],
+                      "final_loss": hist[-1]["loss"] if hist else None}))
+
+
 def _xla_path_model(model):
     """Rebuild a model with the Pallas-kernel flags off: the fused kernels
     are per-device programs GSPMD cannot partition, so any mesh-sharded
@@ -488,6 +588,7 @@ def _build_serving(cfg, args):
     on_accel = jax.devices()[0].platform != "cpu"
     model = instantiate_from_config(cfg["model"])
     params = _restore_params(model, args.ckpt)
+    model, distill_ts = _distill_sidecar(model, args.ckpt)
     enc = _build_cond_encoder(
         cfg, model, allow_debug=getattr(args, "debug_encoder", False))
     if on_accel:
@@ -527,6 +628,12 @@ def _build_serving(cfg, args):
             schedule_method=sched_method)
         params = {"base": params, "up": up_params}
         label = f"chained {sampler}-{steps}"
+    elif distill_ts is not None:
+        # distilled student (sidecar): serve on its trained grid, eta 0
+        pipe = GenerationPipeline(
+            model, num_steps=len(distill_ts), eta=0.0,
+            timesteps=distill_ts, output_uint8=True)
+        label = f"distilled-{len(distill_ts)}"
     else:
         pipe = GenerationPipeline(
             model,
@@ -629,7 +736,7 @@ def main(argv=None):
     p = argparse.ArgumentParser("upgpt_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in ("train", "train-vae", "sample", "test", "eval", "convert",
-                 "serve", "bringup", "data-verify"):
+                 "serve", "bringup", "data-verify", "distill"):
         sp = sub.add_parser(name)
         sp.add_argument("--base", nargs="*", default=[])
         sp.add_argument("overrides", nargs="*", help="key=value dotlist")
@@ -720,6 +827,32 @@ def main(argv=None):
             sp.add_argument("--data-file", default=None)
             sp.add_argument("--limit", type=int, default=None,
                             help="check only the first N pair rows")
+        if name == "distill":
+            sp.add_argument("--teacher-ckpt", required=True,
+                            help="trained teacher (convert layout or "
+                                 "trainer ckpt; EMA preferred)")
+            sp.add_argument("--out", required=True,
+                            help="student checkpoint dir (a .distill.json "
+                                 "grid sidecar is written next to it)")
+            sp.add_argument("--start-steps", type=int, default=64,
+                            help="top teacher sampling grid (power-of-2 "
+                                 "multiple of --end-steps)")
+            sp.add_argument("--end-steps", type=int, default=4)
+            sp.add_argument("--stage-steps", type=int, default=2000,
+                            help="optimizer steps per halving stage")
+            sp.add_argument("--lr", type=float, default=2e-4)
+            sp.add_argument("--batch", type=int, default=32)
+            sp.add_argument("--grid", default="uniform",
+                            choices=("uniform", "karras"))
+            sp.add_argument("--ema-decay", type=float, default=0.999)
+            sp.add_argument("--adapt-steps", type=int, default=400,
+                            help="eps->v re-parameterization fit before "
+                                 "the first halving stage")
+            sp.add_argument("--seed", type=int, default=0)
+            sp.add_argument("--synthetic", action="store_true",
+                            help="distill on the procedural synthetic "
+                                 "dataset (no data root needed)")
+            sp.add_argument("--debug-encoder", action="store_true")
         if name == "bringup":
             sp.add_argument("--drop", required=True,
                             help="directory with the released ckpts + CLIP "
@@ -746,7 +879,7 @@ def main(argv=None):
     {"train": cmd_train, "train-vae": cmd_train_vae, "sample": cmd_sample,
      "test": cmd_test, "eval": cmd_eval, "convert": cmd_convert,
      "serve": cmd_serve, "bringup": cmd_bringup,
-     "data-verify": cmd_data_verify}[args.cmd](cfg, args)
+     "data-verify": cmd_data_verify, "distill": cmd_distill}[args.cmd](cfg, args)
 
 
 if __name__ == "__main__":

@@ -266,6 +266,52 @@ def distill_step(
     return new_state, metrics
 
 
+def adapt_loss(
+    student: LatentDiffusion,
+    student_params: Dict[str, Any],
+    teacher_params: Dict[str, Any],
+    teacher_param_type: str,
+    frozen_params: Dict[str, Any],
+    batch: Dict[str, jax.Array],
+    key: jax.Array,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """eps->v adaptation loss: regress the student's v output onto the
+    teacher's own one-step prediction at the SAME t (uniform over the full
+    trained range) — a pure re-parameterization fit, no step-halving."""
+    model = student
+    all_s = dict(student_params)
+    all_t = dict(teacher_params)
+    all_s.update(frozen_params)
+    all_t.update(frozen_params)
+
+    k_enc, k_t, k_noise = jax.random.split(key, 3)
+    z0 = model.encode_first_stage(all_s, batch["image"], k_enc)
+    b = z0.shape[0]
+    sched = model.schedule
+    t = jax.random.randint(k_t, (b,), 0, sched.num_timesteps)
+    shape = (-1, 1, 1, 1)
+    a = jnp.asarray(sched.sqrt_alphas_cumprod)[t].reshape(shape)
+    sg = jnp.asarray(sched.sqrt_one_minus_alphas_cumprod)[t].reshape(shape)
+    eps = jax.random.normal(k_noise, z0.shape, jnp.float32)
+    z_t = a * z0 + sg * eps
+
+    def build_cond(all_p):
+        return {
+            "c_crossattn": model.build_context(
+                all_p, batch["text_emb"], batch.get("style_emb"),
+                batch.get("smpl")),
+            "c_concat": batch.get("person_mask"),
+        }
+
+    out_t = model.apply_model(all_t, z_t, t, build_cond(all_t))
+    x_t_hat, e_t_hat = _pred_to_x_eps(out_t, z_t, a, sg, teacher_param_type)
+    v_tgt = jax.lax.stop_gradient(a * e_t_hat - sg * x_t_hat)
+
+    out_s = model.apply_model(all_s, z_t, t, build_cond(all_s))
+    loss = jnp.mean(jnp.square(out_s.astype(jnp.float32) - v_tgt))
+    return loss, {"loss": loss}
+
+
 # ---------------- the stage driver ----------------
 
 
@@ -279,6 +325,12 @@ class DistillConfig:
     grid_method: str = "uniform"  # or "karras" (nested halving keeps shape)
     use_ema: bool = True          # hand each stage's EMA to the next stage
     ema_decay: float = 0.999      # shorter horizon than base training
+    # eps->v adaptation (arXiv:2202.00512 §3: the base model is converted
+    # to v before halving): N steps regressing the student's v output onto
+    # the TEACHER'S OWN one-step prediction at the same t, so the ladder's
+    # first stage starts from matched output semantics instead of reading
+    # trained eps outputs as v (a large, avoidable initial loss shock)
+    adapt_steps: int = 400
 
 
 def progressive_distill(
@@ -290,6 +342,7 @@ def progressive_distill(
     rng: Optional[jax.Array] = None,
     log_fn: Optional[Callable[[str], None]] = None,
     jit_fn: Optional[Callable] = None,
+    stage_cb: Optional[Callable[[int, np.ndarray, Dict[str, Any]], None]] = None,
 ) -> Tuple[LatentDiffusion, Dict[str, Any], np.ndarray, List[Dict[str, Any]]]:
     """Run the full halving ladder; returns (student_model, student_params,
     student_grid, per_stage_history).
@@ -314,6 +367,38 @@ def progressive_distill(
     t_params = teacher_params
     t_type = teacher.config.parameterization
     history: List[Dict[str, Any]] = []
+
+    if t_type != "v" and config.adapt_steps > 0:
+        log(f"adapt: {t_type} -> v, {config.adapt_steps} updates")
+        state = create_train_state(
+            jax.tree.map(lambda x: jnp.array(x, copy=True), t_params),
+            learning_rate=config.learning_rate,
+            use_ema=config.use_ema, ema_decay=config.ema_decay,
+            weight_decay=config.weight_decay)
+
+        def adapt_step(s, tp, bt, _type=t_type,
+                       _rng=jax.random.fold_in(rng, 777)):
+            step_rng = jax.random.fold_in(_rng, s.step)
+
+            def loss_fn(p):
+                return adapt_loss(student, p, tp, _type, frozen_params, bt,
+                                  step_rng)
+
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(s.params)
+            return s.apply_gradients(grads), metrics
+
+        step = (jit_fn or (lambda f: jax.jit(f, donate_argnums=0)))(adapt_step)
+        t_dev = jax.tree.map(jnp.asarray, t_params)
+        for k in range(config.adapt_steps):
+            state, metrics = step(state, t_dev, next(data_iter))
+            if k % max(1, config.adapt_steps // 5) == 0:
+                log(f"  adapt step {k}: loss {float(metrics['loss']):.5f}")
+        t_params = jax.device_get(
+            state.ema.shadow if state.ema is not None else state.params)
+        t_type = "v"
+        history.append({"stage": -1, "steps": len(grids[0]),
+                        "loss": float(metrics["loss"]), "adapt": True})
 
     for stage, parent in enumerate(grids[:-1]):
         tables = make_stage_tables(teacher.schedule, parent)
@@ -354,5 +439,9 @@ def progressive_distill(
         t_params = jax.device_get(
             state.ema.shadow if state.ema is not None else state.params)
         t_type = "v"
+        if stage_cb is not None:
+            # hand each intermediate student out (n-step grid + weights) so
+            # callers can evaluate/save every rung of the ladder
+            stage_cb(n, grids[stage + 1], t_params)
 
     return student, t_params, grids[-1], history
