@@ -63,8 +63,22 @@ def main():
     params = jax.jit(model.init_params)(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
     frozen = {"vae": params.pop("vae")}
-    state = create_train_state(
-        params, learning_rate=1e-4 if convergence else 2e-6, use_ema=True)
+    lr = 1e-4 if convergence else 2e-6
+    # optimizer A/B (VERDICT r4 weak #4): UPGPT_FUSED_OPT=1 switches to the
+    # hand-fused AdamW+EMA single-pass update; UPGPT_MOMENT_DTYPE=bf16 also
+    # halves mu/nu/shadow traffic (~32% less optimizer HBM traffic)
+    if _env("UPGPT_FUSED_OPT", False):
+        from upgpt_tpu.training.train_state import create_fused_train_state
+
+        mdtype = (jnp.bfloat16
+                  if os.environ.get("UPGPT_MOMENT_DTYPE") == "bf16"
+                  else jnp.float32)
+        state = create_fused_train_state(
+            params, learning_rate=lr, use_ema=True, moment_dtype=mdtype)
+        print(f"fused optimizer, moment dtype {mdtype.__name__}",
+              file=sys.stderr)
+    else:
+        state = create_train_state(params, learning_rate=lr, use_ema=True)
 
     rng = np.random.default_rng(0)
     h, w = cfg.latent_size
@@ -130,7 +144,9 @@ def main():
     from _ledger import record
 
     record("train_interp256_ms_per_step", best, "ms", batch=batch,
-           remat=remat, img_per_s=round(batch / best * 1000, 1))
+           remat=remat, img_per_s=round(batch / best * 1000, 1),
+           fused_opt=_env("UPGPT_FUSED_OPT", False),
+           moment_dtype=os.environ.get("UPGPT_MOMENT_DTYPE", "f32"))
 
 
 if __name__ == "__main__":

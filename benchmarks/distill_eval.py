@@ -187,7 +187,9 @@ def main():
             path = Path(f"{flags['save-student']}{n}").absolute()
             payload = {**jax.device_get(s_params),
                        "vae": jax.device_get(frozen["vae"])}
-            ocp.StandardCheckpointer().save(path, payload, force=True)
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(path, payload, force=True)
+            ckptr.wait_until_finished()
             with open(str(path) + ".distill.json", "w") as fjs:
                 json.dump({"parameterization": "v",
                            "timesteps": [int(t) for t in grid]}, fjs)

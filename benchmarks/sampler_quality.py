@@ -230,7 +230,9 @@ def main():
 
         payload = {**jax.device_get(params), "vae": jax.device_get(frozen["vae"])}
         path = Path(flags["save-teacher"]).absolute()
-        ocp.StandardCheckpointer().save(path, payload, force=True)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, payload, force=True)
+        ckptr.wait_until_finished()
         print(f"teacher saved: {path}", file=sys.stderr)
     params["vae"] = frozen["vae"]
     if on_tpu:

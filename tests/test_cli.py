@@ -228,3 +228,16 @@ def test_cli_distill_then_sample(tiny_config_file):
               "--ckpt", student, "--out", out_dir, "--batch", "2"])
     files = os.listdir(out_dir)
     assert len(files) == 2, files
+
+
+def test_cli_train_fused_optimizer(tiny_config_file):
+    """Trainer CLI with the fused AdamW+EMA state: full fit + checkpoint
+    round-trip (opt_state is the {"mu","nu"} dict, saved transparently)."""
+    path, logdir = tiny_config_file
+    fused_logdir = f"{logdir}_fused"
+    cli_main(["train", "--debug-encoder",
+              f"trainer.logdir={fused_logdir}",
+              "trainer.fused_optimizer=true",
+              "trainer.moment_dtype=bfloat16",
+              "--base", str(path)])
+    assert os.path.exists(f"{fused_logdir}/checkpoints/last")

@@ -189,6 +189,12 @@ class TrainerConfig:
     # v/127.5 - 1 == v/255*2 - 1. Cuts per-batch h2d bytes ~4x — decisive
     # when the host link is thin (remote tunnels), harmless when it isn't.
     compact_transport: bool = False
+    # hand-fused AdamW+EMA single-pass update (train_state.FusedTrainState):
+    # same math as the optax chain (parity test-pinned), one elementwise
+    # kernel per param. moment_dtype "bfloat16" additionally halves the
+    # mu/nu/EMA HBM traffic. Incompatible with accumulate_grad_batches>1.
+    fused_optimizer: bool = False
+    moment_dtype: str = "float32"
 
 
 class Trainer:
@@ -593,12 +599,28 @@ class Trainer:
             else:
                 all_params.pop("vae", None)
             params = all_params
-        state = create_train_state(
-            params, self.learning_rate, self.scheduler,
-            use_ema=cfg.use_ema and self.model.config.use_ema,
-            ema_decay=cfg.ema_decay,
-            accumulate_grad_batches=cfg.accumulate_grad_batches,
-        )
+        if cfg.fused_optimizer:
+            if cfg.accumulate_grad_batches > 1:
+                raise ValueError(
+                    "fused_optimizer does not compose with "
+                    "accumulate_grad_batches>1 (optax.MultiSteps); pick one")
+            import jax.numpy as jnp
+
+            from upgpt_tpu.training.train_state import create_fused_train_state
+
+            state = create_fused_train_state(
+                params, self.learning_rate, self.scheduler,
+                use_ema=cfg.use_ema and self.model.config.use_ema,
+                ema_decay=cfg.ema_decay,
+                moment_dtype=getattr(jnp, cfg.moment_dtype),
+            )
+        else:
+            state = create_train_state(
+                params, self.learning_rate, self.scheduler,
+                use_ema=cfg.use_ema and self.model.config.use_ema,
+                ema_decay=cfg.ema_decay,
+                accumulate_grad_batches=cfg.accumulate_grad_batches,
+            )
         if resume and (self.logdir / "checkpoints" / "last").exists():
             state, restored = self.load_checkpoint(state, frozen_params)
             if restored is not frozen_params and restored is not None:
