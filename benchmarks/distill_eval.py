@@ -147,15 +147,33 @@ def main():
 
     ref_imgs = sample(t_infer, "ddim200", num_steps=200)
 
+    lpips_fn = None
+    lpips_rehearsal = False
+    lpips_path = os.environ.get("UPGPT_LPIPS_WEIGHTS")
+    if lpips_path and os.path.exists(lpips_path):
+        from upgpt_tpu.eval.lpips import load_lpips_fn
+
+        lpips_fn = load_lpips_fn(lpips_path)
+    elif os.environ.get("UPGPT_LPIPS_REHEARSAL") == "1":
+        from upgpt_tpu.eval.lpips import rehearsal_lpips_fn
+
+        lpips_fn = rehearsal_lpips_fn()
+        lpips_rehearsal = True
+
     def score(label, imgs, extra=None):
         rdir = os.path.join(work, label)
         save_dir(os.path.join(rdir, "samples"), imgs)
         save_dir(os.path.join(rdir, "gt"), ref_imgs)
-        m = evaluate_dirs(rdir, crop_hw=crop)
+        m = evaluate_dirs(rdir, crop_hw=crop, lpips_fn=lpips_fn)
         gate = "ms_ssim" if np.isfinite(m["ms_ssim"]) else "ssim"
-        print(f"{label:>12s} ssim {m['ssim']:.4f} ms_ssim {m['ms_ssim']:.4f}")
+        line = f"{label:>12s} ssim {m['ssim']:.4f} ms_ssim {m['ms_ssim']:.4f}"
+        if lpips_fn:
+            line += f" lpips {m['lpips']:.4f}"
+        print(line)
         record(f"distill_quality_{label}", m["ssim"], "ssim_vs_ddim200",
                ms_ssim=round(float(m["ms_ssim"]), 4), tiny=tiny,
+               lpips=round(float(m["lpips"]), 4) if lpips_fn else None,
+               lpips_rehearsal=lpips_rehearsal or None,
                **(extra or {}))
         return m[gate]
 

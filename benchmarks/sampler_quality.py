@@ -264,11 +264,20 @@ def main():
     ref_imgs = run(*REF)
 
     lpips_fn = None
+    lpips_rehearsal = False
     lpips_path = os.environ.get("UPGPT_LPIPS_WEIGHTS")
     if lpips_path and os.path.exists(lpips_path):
         from upgpt_tpu.eval.lpips import load_lpips_fn
 
         lpips_fn = load_lpips_fn(lpips_path)
+    elif os.environ.get("UPGPT_LPIPS_REHEARSAL") == "1":
+        # fixed-random-extractor mode (eval/lpips.rehearsal_lpips_fn): the
+        # exact LPIPS code path with seeded random weights — ordering-
+        # meaningful perceptual column, NOT the published metric
+        from upgpt_tpu.eval.lpips import rehearsal_lpips_fn
+
+        lpips_fn = rehearsal_lpips_fn()
+        lpips_rehearsal = True
 
     from _ledger import record
 
@@ -289,6 +298,7 @@ def main():
         record(f"sampler_quality_{label}", m["ssim"], "ssim_vs_ddim200",
                ms_ssim=round(m["ms_ssim"], 4),
                lpips=round(m["lpips"], 4) if lpips_fn else None,
+               lpips_rehearsal=lpips_rehearsal or None,
                train_steps=train_steps, batch=batch, tiny=tiny,
                synthetic=synthetic, **val_losses)
 

@@ -103,6 +103,15 @@ def test_bringup_rehearsal_rejects_random_weights(drop_dir, tmp_path):
     assert abs(val["eps_corr_mid_t"]) < 0.3
     assert report["accepted"] is False
 
+    # sampler-quality ordering check ran on the converted weights and
+    # produced the ddim50/unipc8k/dpmpp20-vs-DDIM-200 agreement fields
+    sc = report["steps"]["sampler_check"][0]
+    assert "error" not in sc, sc
+    for k in ("ssim_ddim50_vs_ddim200", "ssim_unipc8k_vs_ddim200",
+              "ssim_dpmpp20_vs_ddim200"):
+        assert -1.0 <= sc[k] <= 1.0
+    assert isinstance(sc["karras_guidance_holds"], bool)
+
     persisted = json.loads((out / "report.json").read_text())
     assert persisted["accepted"] is False
 
@@ -127,7 +136,7 @@ def test_bringup_cli_entry(drop_dir, tmp_path, capsys):
     with pytest.raises(SystemExit) as exc:
         cli_main(["bringup", "--drop", str(drop_dir), "--out", str(out),
                   "--variants", "interp_256", "--geometry", "tiny",
-                  "--skip-bench", "--skip-eval"])
+                  "--skip-bench", "--skip-eval", "--skip-sampler-check"])
     assert exc.value.code == 3
     assert (out / "REPORT.md").exists()
     assert "REPORT.md" in capsys.readouterr().out

@@ -134,3 +134,28 @@ def test_lpips_converter_key_walk():
     assert len(params["vgg"]) == 13
     assert params["vgg"]["conv_0"]["kernel"].shape == (3, 3, 3, 64)
     assert params["lin_4"]["kernel"].shape == (1, 1, 512, 1)
+
+
+def test_lpips_rehearsal_mode():
+    """Fixed-random-extractor LPIPS (VERDICT r4 item 8): deterministic,
+    ~zero on identical images, positive and monotone-ish in perturbation
+    size — the in-sandbox perceptual column for the quality tables."""
+    import jax.numpy as jnp
+
+    from upgpt_tpu.eval.lpips import rehearsal_lpips_fn
+
+    f = rehearsal_lpips_fn()
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(size=(2, 64, 48, 3)).clip(-1, 1), jnp.float32)
+    small = jnp.clip(a + 0.05 * jnp.asarray(
+        rng.normal(size=a.shape), jnp.float32), -1, 1)
+    big = jnp.clip(a + 0.5 * jnp.asarray(
+        rng.normal(size=a.shape), jnp.float32), -1, 1)
+    d0 = np.asarray(f(a, a))
+    ds = np.asarray(f(a, small))
+    db = np.asarray(f(a, big))
+    assert np.all(d0 < 1e-6)
+    assert np.all(ds > d0) and np.all(db > ds)
+    # same seed -> same function
+    np.testing.assert_allclose(
+        np.asarray(rehearsal_lpips_fn()(a, big)), db, rtol=1e-6)

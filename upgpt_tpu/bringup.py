@@ -225,6 +225,68 @@ def validate_variant(variant: str, weights_dir: Path) -> Dict[str, Any]:
     return rec
 
 
+def sampler_check(variant: str, weights_dir: Path,
+                  batch: int = 2) -> Dict[str, Any]:
+    """Sampler-quality ordering on the CONVERTED weights (VERDICT r4 #6).
+
+    The in-sandbox karras/UniPC serving guidance rests on synthetic score
+    fields; first real contact should settle it on the real one. Samples
+    DDIM-200 (the app's own fine grid, reference app.py:55), then DDIM-50
+    (eval protocol), UniPC-8-karras and DPM++-20 from ONE shared x_T with
+    neutral conditioning, and scores SSIM agreement with DDIM-200. The
+    serving guidance holds if unipc8k >= ddim50's agreement; the record
+    states it either way (informational — ordering, not acceptance).
+    """
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from upgpt_tpu import zoo
+    from upgpt_tpu.eval.metrics import ssim
+    from upgpt_tpu.inference.pipeline import GenerationPipeline
+
+    params = ocp.StandardCheckpointer().restore(Path(weights_dir).absolute())
+    if "unet" not in params or "vae" not in params:
+        return {"variant": variant, "skipped": "no unet/vae in weights"}
+    model = zoo.build_latent_diffusion(variant, use_flash_attention=False)
+    cfg = model.config
+    h, w = cfg.latent_size
+    ctx_dim = cfg.context_dim
+    rng = np.random.default_rng(0)
+    eb = {
+        "text_emb": jnp.asarray(rng.normal(size=(batch, 77, ctx_dim)) * 0.1,
+                                jnp.float32),
+        "person_mask": jnp.full(
+            (batch, h, w, cfg.unet.in_channels - cfg.latent_channels),
+            -1.0, jnp.float32),
+    }
+    if cfg.pose_input_dim:
+        eb["smpl"] = jnp.zeros((batch, 1, cfg.pose_input_dim), jnp.float32)
+        eb["style_emb"] = jnp.asarray(
+            rng.normal(size=(batch, 9, ctx_dim)) * 0.1, jnp.float32)
+    key = jax.random.PRNGKey(7)
+
+    def run(sampler, steps, method):
+        pipe = GenerationPipeline(model, num_steps=steps, eta=0.0,
+                                  sampler=sampler, schedule_method=method)
+        return np.asarray(pipe.generate(params, eb, key))
+
+    ref = run("ddim", 200, "uniform")
+    rec: Dict[str, Any] = {"variant": variant}
+    for label, sampler, steps, method in (
+            ("ddim50", "ddim", 50, "uniform"),
+            ("unipc8k", "unipc", 8, "karras"),
+            ("dpmpp20", "dpm++", 20, "uniform")):
+        imgs = run(sampler, steps, method)
+        val = float(np.mean(np.asarray(ssim(
+            jnp.asarray((imgs + 1) / 2), jnp.asarray((ref + 1) / 2),
+            data_range=1.0))))
+        rec[f"ssim_{label}_vs_ddim200"] = round(val, 4)
+    rec["karras_guidance_holds"] = bool(
+        rec["ssim_unipc8k_vs_ddim200"] >= rec["ssim_ddim50_vs_ddim200"] - 0.005)
+    return rec
+
+
 def run_bringup(
     drop_dir: str,
     out_dir: str,
@@ -233,6 +295,8 @@ def run_bringup(
     skip_bench: bool = False,
     skip_eval: bool = False,
     geometry_override: Optional[str] = None,
+    fid_reference: Optional[float] = None,
+    skip_sampler_check: bool = False,
 ) -> Dict[str, Any]:
     """The full drill; returns (and writes) the acceptance report."""
     out = Path(out_dir)
@@ -268,6 +332,24 @@ def run_bringup(
     report["steps"]["convert"] = conversions
     report["steps"]["validate"] = validations
 
+    # sampler-quality ordering on the real weights (informational): settles
+    # the karras/UniPC serving guidance on a real score field at first
+    # contact instead of the synthetic harness alone
+    if not skip_sampler_check:
+        checks = []
+        for rec in conversions:
+            if "error" in rec:
+                continue
+            try:
+                checks.append(sampler_check(
+                    geometry_override or rec["variant"], Path(rec["out"])))
+            except Exception as exc:  # noqa: BLE001
+                checks.append({"variant": rec["variant"],
+                               "error": repr(exc)})
+        report["steps"]["sampler_check"] = checks
+    else:
+        report["steps"]["sampler_check"] = {"skipped": True}
+
     # CLIP conversion (text + vision towers) when the HF snapshot is present
     if inv.clip_dir is not None:
         try:
@@ -302,9 +384,24 @@ def run_bringup(
             argv += ["--fid-weights", str(inv.inception)]
         try:
             _cli.main(argv)
-            mtxt = out / "eval" / "metrics.txt"
-            report["steps"]["eval"] = {
-                "metrics": mtxt.read_text() if mtxt.exists() else None}
+            mjson = out / "eval" / "metrics.json"
+            metrics = (json.loads(mjson.read_text())
+                       if mjson.exists() else None)
+            rec_eval: Dict[str, Any] = {"metrics": metrics}
+            if fid_reference is not None:
+                # BASELINE.md build target: FID within 2% of the
+                # REFERENCE's own eval pipeline on the same pairs (no
+                # published number exists — BASELINE.json `published: {}`
+                # — so the reference-run value is user-supplied)
+                measured = (metrics or {}).get("fid_inception") or (
+                    metrics or {}).get("fid")
+                rec_eval["fid_gate"] = {
+                    "reference": fid_reference,
+                    "measured": measured,
+                    "pass": bool(measured is not None
+                                 and measured <= fid_reference * 1.02),
+                }
+            report["steps"]["eval"] = rec_eval
         except SystemExit as exc:
             report["steps"]["eval"] = {"error": f"cli test exited: {exc}"}
     else:
@@ -314,6 +411,10 @@ def run_bringup(
           and all("error" not in c for c in conversions)
           and all(v.get("vae_pass") and v.get("unet_pass")
                   for v in validations if "error" not in v))
+    gate = report["steps"]["eval"].get("fid_gate") if isinstance(
+        report["steps"]["eval"], dict) else None
+    if gate is not None:
+        ok = ok and gate["pass"]
     report["accepted"] = bool(ok and conversions)
     report = json.loads(json.dumps(report, default=_json_scalar))
     (out / "report.json").write_text(json.dumps(report, indent=2))
@@ -386,6 +487,21 @@ def _render_report(report: Dict[str, Any]) -> str:
                 f"- {v['variant']}: VAE PSNR {v.get('vae_roundtrip_psnr_db')}"
                 f" dB (pass={v.get('vae_pass')}), eps corr "
                 f"{v.get('eps_corr_mid_t')} (pass={v.get('unet_pass')})")
+    sc = report["steps"].get("sampler_check")
+    if isinstance(sc, list):
+        lines += ["", "## Sampler-quality ordering (real weights)", ""]
+        for r in sc:
+            if "error" in r:
+                lines.append(f"- {r['variant']}: ERROR {r['error']}")
+            elif "skipped" in r:
+                lines.append(f"- {r['variant']}: skipped ({r['skipped']})")
+            else:
+                lines.append(
+                    f"- {r['variant']}: ddim50 "
+                    f"{r['ssim_ddim50_vs_ddim200']}, unipc8k "
+                    f"{r['ssim_unipc8k_vs_ddim200']}, dpmpp20 "
+                    f"{r['ssim_dpmpp20_vs_ddim200']} vs DDIM-200 — karras "
+                    f"guidance holds: {r['karras_guidance_holds']}")
     for step in ("clip", "bench", "eval"):
         lines += ["", f"## {step}", "", f"```{json.dumps(report['steps'].get(step), indent=2)}```"]
     return "\n".join(lines) + "\n"

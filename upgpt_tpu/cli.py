@@ -270,19 +270,24 @@ def cmd_test(cfg, args):
 
     model = instantiate_from_config(cfg["model"])
     params = _restore_params(model, args.ckpt)
+    model, distill_ts = _distill_sidecar(model, args.ckpt)
     enc = _build_cond_encoder(
         cfg, model, allow_debug=getattr(args, "debug_encoder", False)
     )
     model, params, put_batch = _tp_shard(
         model, params, getattr(args, "tp", 1), batch_size=args.batch)
     samp = cfg.get("sampling") or {}
-    pipe = GenerationPipeline(
-        model, num_steps=args.steps or samp.get("ddim_steps", 200),
-        eta=samp.get("eta", 1.0),
-        sampler=getattr(args, "sampler", None) or samp.get("sampler", "ddim"),
-        schedule_method=getattr(args, "schedule", None)
-        or samp.get("schedule", "uniform"),
-    )
+    if distill_ts is not None:
+        pipe = GenerationPipeline(
+            model, num_steps=len(distill_ts), eta=0.0, timesteps=distill_ts)
+    else:
+        pipe = GenerationPipeline(
+            model, num_steps=args.steps or samp.get("ddim_steps", 200),
+            eta=samp.get("eta", 1.0),
+            sampler=getattr(args, "sampler", None) or samp.get("sampler", "ddim"),
+            schedule_method=getattr(args, "schedule", None)
+            or samp.get("schedule", "uniform"),
+        )
     # per-variant eval crop: 256x176 for the 256px models, 512x352 for the
     # 512 stages (reference model params crop_size, e.g. mm_512/config.yaml:15)
     crop_hw = tuple((cfg.get("eval") or {}).get("crop_size") or (256, 176))
@@ -315,6 +320,9 @@ def cmd_test(cfg, args):
     metrics = evaluate_dirs(str(results), crop_hw=crop_hw,
                             fid_feature_fn=_fid_fn(cfg, args))
     print(json.dumps(metrics))
+    # machine-readable aggregate next to the per-image metrics.csv, so
+    # callers (bringup FID gate) don't have to scrape stdout
+    (results / "metrics.json").write_text(json.dumps(metrics, indent=2))
 
 
 def cmd_train_vae(cfg, args):
@@ -693,6 +701,8 @@ def cmd_bringup(cfg, args):
         skip_bench=args.skip_bench,
         skip_eval=args.skip_eval,
         geometry_override=args.geometry or None,
+        fid_reference=args.fid_reference,
+        skip_sampler_check=args.skip_sampler_check,
     )
     print(json.dumps({"accepted": report["accepted"],
                       "report": str(Path(args.out) / "REPORT.md")}))
@@ -866,6 +876,13 @@ def main(argv=None):
                                  "use 'tiny')")
             sp.add_argument("--skip-bench", action="store_true")
             sp.add_argument("--skip-eval", action="store_true")
+            sp.add_argument("--skip-sampler-check", action="store_true",
+                            help="skip the DDIM-200-vs-fast-sampler "
+                                 "ordering check on converted weights")
+            sp.add_argument("--fid-reference", type=float, default=None,
+                            help="FID from the REFERENCE's own eval run on "
+                                 "the same pairs; gates acceptance at "
+                                 "within-2% (BASELINE.md build target)")
     args = p.parse_args(argv)
     if getattr(args, "multihost", False):
         # must run before the first backend touch (jax.devices())

@@ -87,6 +87,30 @@ def load_lpips_fn(path: str):
     return jax.jit(lambda a, b: mod.apply({"params": params}, a, b))
 
 
+def rehearsal_lpips_fn(seed: int = 0):
+    """Fixed-random-extractor LPIPS rehearsal (VERDICT r4 item 8).
+
+    The published metric needs torchvision VGG16 + lin-head weights this
+    sandbox cannot download; this returns the SAME jitted code path with
+    deterministically seeded random weights (abs() on the lin heads keeps
+    the distance nonnegative like the published ReLU'd heads). A random
+    deep feature distance is still a meaningful perceptual-change detector
+    (random-VGG LPIPS correlates with the trained metric's ordering far
+    better than pixel MSE), but the absolute numbers are NOT the published
+    LPIPS — label such columns 'lpips_rehearsal'. Swapping in real weights
+    via load_lpips_fn changes nothing else in the pipeline.
+    """
+    mod = LPIPS()
+    params = mod.init(
+        jax.random.PRNGKey(seed),
+        jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)))["params"]
+    # abs only the lin heads (nonnegativity); the VGG convs keep their
+    # signed init so the features stay diverse
+    params = {k: (jax.tree.map(jnp.abs, v) if k.startswith("lin_") else v)
+              for k, v in dict(params).items()}
+    return jax.jit(lambda a, b: mod.apply({"params": params}, a, b))
+
+
 def convert_lpips_weights(lpips_state_dict: Mapping[str, "np.ndarray"]) -> Dict:
     """lpips-package state_dict (net.slice*/lin*) -> LPIPS flax params.
 
