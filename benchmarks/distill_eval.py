@@ -180,6 +180,20 @@ def main():
     bar = score("ddim50", sample(t_infer, "ddim50", num_steps=50))
     results = {"ddim50": bar}
 
+    # teacher fast-sampler points against the same reference field: the
+    # 8-step karras serving headline must hold on THIS (non-overfit) model,
+    # not just the round-4 overfit crossover
+    for label, sampler, steps, method in (
+            ("unipc8k", "unipc", 8, "karras"),
+            ("dpmpp8k", "dpm++", 8, "karras"),
+            ("unipc6k", "unipc", 6, "karras")):
+        if flags.get("skip-teacher-samplers"):
+            break
+        imgs = sample(t_infer, label, num_steps=steps, sampler=sampler,
+                      schedule_method=method)
+        results[label] = score(label, imgs, extra={"steps": steps,
+                                                   "teacher_point": True})
+
     # ---- the ladder ----
     student_cfgs = {}
 

@@ -195,7 +195,10 @@ def test_acceptance_pipeline_dress_rehearsal(tiny_config_file, capsys):
               "--fid-weights", fid_dir])
     metrics = json.loads(capsys.readouterr().out.strip().split("\n")[-1])
     assert "fid_inception" in metrics and np.isfinite(metrics["fid_inception"])
-    assert "fid" not in metrics  # extractor-named keys only
+    # protocol-extractor runs also expose the compat 'fid' alias, equal to
+    # fid_inception (harness.py:110-113; pinned in test_eval alongside the
+    # guard that non-protocol extractors do NOT claim it)
+    assert metrics["fid"] == metrics["fid_inception"]
     assert metrics["n_images"] == 2
     for group in ("samples", "gt", "recon", "src", "smpl", "concats", "styles"):
         assert len(os.listdir(f"{out_dir}/{group}")) == 2, group
