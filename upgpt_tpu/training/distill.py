@@ -325,11 +325,15 @@ class DistillConfig:
     grid_method: str = "uniform"  # or "karras" (nested halving keeps shape)
     use_ema: bool = True          # hand each stage's EMA to the next stage
     ema_decay: float = 0.999      # shorter horizon than base training
-    # eps->v adaptation (arXiv:2202.00512 §3: the base model is converted
-    # to v before halving): N steps regressing the student's v output onto
-    # the TEACHER'S OWN one-step prediction at the same t, so the ladder's
-    # first stage starts from matched output semantics instead of reading
-    # trained eps outputs as v (a large, avoidable initial loss shock)
+    # eps->v adaptation: N steps regressing a v-copy's output onto the
+    # teacher's own one-step prediction at the same t. The result is used
+    # ONLY as the stage-0 student INIT — the stage-0 teacher stays the
+    # ORIGINAL eps model. (Round-5 full-geometry run measured why the
+    # alternative fails: a 300-step adaptation converges to ~12% residual
+    # v-RMS, and a ladder whose stage-0 TEACHER is that approximation is
+    # quality-capped at 0.88 SSIM vs the real teacher's trajectory. As
+    # init, the residual washes out because stage 0 optimizes the true
+    # two-step target against the faithful teacher.)
     adapt_steps: int = 400
 
 
@@ -394,11 +398,14 @@ def progressive_distill(
             state, metrics = step(state, t_dev, next(data_iter))
             if k % max(1, config.adapt_steps // 5) == 0:
                 log(f"  adapt step {k}: loss {float(metrics['loss']):.5f}")
-        t_params = jax.device_get(
+        # INIT ONLY: the stage-0 student starts from the adapted weights,
+        # but its teacher stays the original eps model (see DistillConfig)
+        init_params = jax.device_get(
             state.ema.shadow if state.ema is not None else state.params)
-        t_type = "v"
         history.append({"stage": -1, "steps": len(grids[0]),
                         "loss": float(metrics["loss"]), "adapt": True})
+    else:
+        init_params = None
 
     for stage, parent in enumerate(grids[:-1]):
         tables = make_stage_tables(teacher.schedule, parent)
@@ -406,11 +413,14 @@ def progressive_distill(
         log(f"stage {stage}: {len(parent)} -> {n} steps, "
             f"{config.steps_per_stage} updates")
 
-        # student init = COPY of the teacher weights: the step donates the
-        # student state while the teacher enters as a live argument, so
-        # shared buffers would trip XLA's donation aliasing check
+        # student init = COPY of the teacher weights (stage 0: the adapted
+        # v-init when the adapt phase ran): the step donates the student
+        # state while the teacher enters as a live argument, so shared
+        # buffers would trip XLA's donation aliasing check
+        src = init_params if (stage == 0 and init_params is not None) \
+            else t_params
         state = create_train_state(
-            jax.tree.map(lambda x: jnp.array(x, copy=True), t_params),
+            jax.tree.map(lambda x: jnp.array(x, copy=True), src),
             learning_rate=config.learning_rate,
             use_ema=config.use_ema, ema_decay=config.ema_decay,
             weight_decay=config.weight_decay)

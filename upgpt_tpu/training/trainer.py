@@ -604,8 +604,6 @@ class Trainer:
                 raise ValueError(
                     "fused_optimizer does not compose with "
                     "accumulate_grad_batches>1 (optax.MultiSteps); pick one")
-            import jax.numpy as jnp
-
             from upgpt_tpu.training.train_state import create_fused_train_state
 
             state = create_fused_train_state(
