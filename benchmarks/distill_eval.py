@@ -194,6 +194,17 @@ def main():
         results[label] = score(label, imgs, extra={"steps": steps,
                                                    "teacher_point": True})
 
+    # ceiling control: the teacher's OWN trajectory on the ladder's top
+    # grid — the best any student in this ladder can score vs DDIM-200
+    from upgpt_tpu.training.distill import make_distill_grids
+
+    grid0 = make_distill_grids(model.schedule, start_steps, end_steps)[0]
+    imgs = sample(t_infer, f"teachergrid{start_steps}",
+                  num_steps=start_steps, timesteps=grid0)
+    results["teacher_grid"] = score(
+        f"teachergrid{start_steps}", imgs,
+        extra={"steps": start_steps, "ceiling": True})
+
     # ---- the ladder ----
     student_cfgs = {}
 
