@@ -67,6 +67,12 @@ def main():
     score_batch = int(flags.get("score-batch", 4 if tiny else 8))
     lr = float(flags.get("lr", 1e-3 if tiny else 2e-4))
     adapt_steps = int(flags.get("adapt-steps", 40 if tiny else 400))
+    # ladder grid: "karras" is the measured default-of-choice — the
+    # linspace-uniform 64-grid teacher trajectory scores 0.9933 MS-SSIM vs
+    # DDIM-200 (BELOW the 0.9943 DDIM-50 bar: the ladder would be capped
+    # under its own gate), while the karras grid is above the bar from 8
+    # steps up (0.9946-0.9969 measured round 5)
+    grid_method = flags.get("grid", "karras")
 
     on_tpu = jax.devices()[0].platform != "cpu"
     model = build_model(tiny, on_tpu)
@@ -198,7 +204,8 @@ def main():
     # grid — the best any student in this ladder can score vs DDIM-200
     from upgpt_tpu.training.distill import make_distill_grids
 
-    grid0 = make_distill_grids(model.schedule, start_steps, end_steps)[0]
+    grid0 = make_distill_grids(model.schedule, start_steps, end_steps,
+                           method=grid_method)[0]
     imgs = sample(t_infer, f"teachergrid{start_steps}",
                   num_steps=start_steps, timesteps=grid0)
     results["teacher_grid"] = score(
@@ -261,6 +268,7 @@ def main():
         model, trainable, frozen, itertools.cycle(pool),
         DistillConfig(start_steps=start_steps, end_steps=end_steps,
                       steps_per_stage=stage_steps, learning_rate=lr,
+                      grid_method=grid_method,
                       use_ema=True, ema_decay=0.999,
                       adapt_steps=adapt_steps),
         rng=jax.random.PRNGKey(5),
