@@ -83,7 +83,10 @@ def main():
 
     # ---- teacher ----
     teacher_path = flags.get("teacher")
+    chain_grid = None
     if teacher_path and os.path.exists(teacher_path):
+        import json as _json
+        import dataclasses as _dc
         import orbax.checkpoint as ocp
         from pathlib import Path
 
@@ -91,7 +94,27 @@ def main():
             Path(teacher_path).absolute())
         frozen = {"vae": payload.pop("vae")}
         trainable = {k: v for k, v in payload.items()}
-        print(f"teacher loaded from {teacher_path}", file=sys.stderr)
+        # ladder chaining (the ~5k-step/process host-leak bound forces
+        # multi-process stage budgets): a student checkpoint's sidecar
+        # makes it the next process's v-param teacher; its saved grid must
+        # equal the grid this run derives for --start, or the halving
+        # intervals would not nest
+        sidecar = Path(str(Path(teacher_path).absolute()) + ".distill.json")
+        if sidecar.exists():
+            meta = _json.loads(sidecar.read_text())
+            from upgpt_tpu.diffusion.latent_diffusion import LatentDiffusion
+
+            model = LatentDiffusion(_dc.replace(
+                cfg, parameterization=meta["parameterization"]))
+            cfg = model.config
+            # continue from the sidecar's OWN grid (a nested child
+            # grid is not the fresh grid of its size)
+            chain_grid = np.asarray(meta["timesteps"], dtype=np.int64)
+            start_steps = len(chain_grid)
+            print(f"chained v-teacher ({start_steps}-step grid) loaded "
+                  f"from {teacher_path}", file=sys.stderr)
+        else:
+            print(f"teacher loaded from {teacher_path}", file=sys.stderr)
     else:
         params = jax.jit(model.init_params)(jax.random.PRNGKey(0))
         jax.block_until_ready(params)
@@ -151,7 +174,26 @@ def main():
               file=sys.stderr)
         return out
 
-    ref_imgs = sample(t_infer, "ddim200", num_steps=200)
+    # chained runs score against the ORIGINAL eps teacher's fine-grid
+    # trajectory (--ref-teacher), not the chained v-teacher's own
+    ref_path = flags.get("ref-teacher")
+    if ref_path and os.path.exists(ref_path):
+        import dataclasses as _dc
+        import orbax.checkpoint as ocp
+        from pathlib import Path
+
+        from upgpt_tpu.diffusion.latent_diffusion import LatentDiffusion
+
+        rp = ocp.StandardCheckpointer().restore(Path(ref_path).absolute())
+        ref_model = LatentDiffusion(_dc.replace(cfg, parameterization="eps"))
+        ref_infer = infer_params({k: v for k, v in rp.items() if k != "vae"})
+        ref_imgs = sample(ref_infer, "ddim200", model_=ref_model,
+                          num_steps=200)
+        bar_src = (ref_infer, ref_model)
+        del rp
+    else:
+        ref_imgs = sample(t_infer, "ddim200", num_steps=200)
+        bar_src = (t_infer, None)
 
     lpips_fn = None
     lpips_rehearsal = False
@@ -183,7 +225,8 @@ def main():
                **(extra or {}))
         return m[gate]
 
-    bar = score("ddim50", sample(t_infer, "ddim50", num_steps=50))
+    bar = score("ddim50", sample(bar_src[0], "ddim50", model_=bar_src[1],
+                             num_steps=50))
     results = {"ddim50": bar}
 
     # teacher fast-sampler points against the same reference field: the
@@ -204,8 +247,9 @@ def main():
     # grid — the best any student in this ladder can score vs DDIM-200
     from upgpt_tpu.training.distill import make_distill_grids
 
-    grid0 = make_distill_grids(model.schedule, start_steps, end_steps,
-                           method=grid_method)[0]
+    grid0 = (chain_grid if chain_grid is not None else
+             make_distill_grids(model.schedule, start_steps, end_steps,
+                                method=grid_method)[0])
     imgs = sample(t_infer, f"teachergrid{start_steps}",
                   num_steps=start_steps, timesteps=grid0)
     results["teacher_grid"] = score(
@@ -273,7 +317,7 @@ def main():
                       adapt_steps=adapt_steps),
         rng=jax.random.PRNGKey(5),
         log_fn=lambda s: print(s, file=sys.stderr),
-        stage_cb=stage_cb)
+        stage_cb=stage_cb, start_grid=chain_grid)
     print(f"ladder: {time.perf_counter()-t0:.1f}s total", file=sys.stderr)
 
     # ---- gates + throughput ----

@@ -353,6 +353,7 @@ def progressive_distill(
     log_fn: Optional[Callable[[str], None]] = None,
     jit_fn: Optional[Callable] = None,
     stage_cb: Optional[Callable[[int, np.ndarray, Dict[str, Any]], None]] = None,
+    start_grid: Optional[np.ndarray] = None,
 ) -> Tuple[LatentDiffusion, Dict[str, Any], np.ndarray, List[Dict[str, Any]]]:
     """Run the full halving ladder; returns (student_model, student_params,
     student_grid, per_stage_history).
@@ -371,9 +372,23 @@ def progressive_distill(
     student_cfg = dataclasses.replace(teacher.config, parameterization="v")
     student = LatentDiffusion(student_cfg)
 
-    grids = make_distill_grids(
-        teacher.schedule, config.start_steps, config.end_steps,
-        method=config.grid_method)
+    if start_grid is not None:
+        # chained ladder: continue halving from a student's OWN saved grid
+        # (a nested child grid is NOT the fresh karras/uniform grid of its
+        # size — sidecar grids must be continued, not rebuilt)
+        g = np.asarray(start_grid, dtype=np.int64)
+        ratio = len(g) // config.end_steps
+        if len(g) % config.end_steps or ratio & (ratio - 1):
+            raise ValueError(
+                f"start_grid of {len(g)} cannot halve to {config.end_steps}")
+        grids = [g]
+        while len(g) > config.end_steps:
+            g = g[1::2]
+            grids.append(g)
+    else:
+        grids = make_distill_grids(
+            teacher.schedule, config.start_steps, config.end_steps,
+            method=config.grid_method)
     t_params = teacher_params
     t_type = teacher.config.parameterization
     history: List[Dict[str, Any]] = []
