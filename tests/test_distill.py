@@ -214,3 +214,31 @@ def test_progressive_ladder_end_to_end():
     out = np.asarray(pipe.generate(full, eb, jax.random.PRNGKey(7)))
     assert out.shape == (2, 16, 16, 3)
     assert np.isfinite(out).all()
+
+
+def test_chained_start_grid():
+    """Ladder chaining contract: an explicit start_grid is continued by
+    halving ITS OWN points (a nested child grid is not the fresh grid of
+    its size), and a non-power-of-two ratio is rejected."""
+    from upgpt_tpu.data.synthetic import SyntheticPairs
+
+    model = LatentDiffusion(tiny_config(parameterization="v"))
+    params = model.init_params(jax.random.PRNGKey(0))
+    trainable, frozen = split_params(params)
+    data = SyntheticPairs.for_model(model.config, n_samples=16)
+
+    custom = np.asarray([7, 23, 61, 97], np.int64)  # arbitrary ascending
+    student, s_params, grid, hist = progressive_distill(
+        model, trainable, frozen, data.iterator(2, as_jnp=True),
+        DistillConfig(start_steps=4, end_steps=2, steps_per_stage=2,
+                      learning_rate=1e-4, use_ema=False, adapt_steps=0),
+        rng=jax.random.PRNGKey(1), start_grid=custom)
+    np.testing.assert_array_equal(grid, custom[1::2])
+    assert [h["steps"] for h in hist] == [2]
+
+    with pytest.raises(ValueError):
+        progressive_distill(
+            model, trainable, frozen, data.iterator(2, as_jnp=True),
+            DistillConfig(start_steps=6, end_steps=4, steps_per_stage=1,
+                          adapt_steps=0),
+            start_grid=np.asarray([1, 5, 9, 13, 17, 21], np.int64))
